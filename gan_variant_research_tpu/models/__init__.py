@@ -1,0 +1,20 @@
+"""Model zoo: ResNet-9 generator (CUT + CycleGAN lineages), U-Net generator
+(notebook lineage), PatchGAN / multiscale discriminators."""
+
+from gan_variant_research_tpu.models.generator_resnet import (
+    ResNetGenerator,
+    ResidualBlock,
+)
+from gan_variant_research_tpu.models.generator_unet import UNetGenerator
+from gan_variant_research_tpu.models.discriminator_patchgan import (
+    PatchGANDiscriminator,
+    MultiscaleDiscriminator,
+)
+
+__all__ = [
+    "ResNetGenerator",
+    "ResidualBlock",
+    "UNetGenerator",
+    "PatchGANDiscriminator",
+    "MultiscaleDiscriminator",
+]

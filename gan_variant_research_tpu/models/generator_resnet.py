@@ -1,0 +1,199 @@
+"""ResNet-9 generator with PatchNCE feature taps (NHWC, bf16-ready).
+
+Capability match of the reference's two ResNet generators:
+
+- GAN_Variant1/models/generator_resnet_attn.py:74-235 (``ResNetGenerator``:
+  reflect-pad 7×7 stem → 2× stride-2 downsample → 9 residual blocks → 2×
+  ConvTranspose upsample → 7×7 + tanh; ``get_feature_layers`` taps indexed
+  0=stem, 1..2=downsample ReLUs, 3..11=res blocks, 12..13=upsample ReLUs).
+- Basic_GAN/src/models.py:23-65 (same topology, bias-free convs) — select
+  with ``use_bias=False``.
+
+Design notes (TPU-first, not a translation):
+
+- One forward optionally returns BOTH the output image and the tapped
+  features (``extract=...``): the reference recomputes the full generator
+  up to 5× per training step (SURVEY.md §3.1); here the fake image and the
+  source-side NCE features come from a single fused forward, and unused
+  tail layers of a taps-only call are dead-code-eliminated by XLA.
+- Tap ids not in range are silently skipped exactly like the reference —
+  note the default nce_layers [0,4,8,12,16] contains id 16 which does not
+  exist (valid ids are 0..13), so the reference effectively uses 4 taps;
+  we reproduce that.
+- The deleted experimental flags (attention / channel attention / style
+  dropout) are accepted but fail loudly, per SURVEY.md §2.1 ("flags should
+  exist and either work or fail loudly").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gan_variant_research_tpu.models.layers import (
+    Conv2d,
+    ConvTranspose2d,
+    pad_2d,
+    activation_fn,
+)
+from gan_variant_research_tpu.ops.nn_ops import instance_norm
+
+
+def _norm(x, kind: str):
+    if kind == "instance":
+        return instance_norm(x)
+    if kind in ("none", "identity"):
+        return x
+    if kind == "batch":
+        raise NotImplementedError("batch norm is not supported in the TPU rebuild")
+    raise ValueError(f"Unknown norm: {kind!r}")
+
+
+class ResidualBlock(nn.Module):
+    """pad→conv3×3→norm→act→pad→conv3×3→norm, residual add
+    (generator_resnet_attn.py:7-71)."""
+
+    channels: int
+    padding_type: str = "reflect"
+    norm: str = "instance"
+    activation: str = "relu"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = activation_fn(self.activation)
+        zero_pad = 1 if self.padding_type == "zero" else 0
+        conv = lambda name: Conv2d(
+            self.channels,
+            kernel_size=3,
+            padding=zero_pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        h = x
+        if zero_pad == 0:
+            h = pad_2d(h, 1, self.padding_type)
+        h = conv("conv1")(h)
+        h = _norm(h, self.norm)
+        h = act(h)
+        if zero_pad == 0:
+            h = pad_2d(h, 1, self.padding_type)
+        h = conv("conv2")(h)
+        h = _norm(h, self.norm)
+        return x + h
+
+
+class ResNetGenerator(nn.Module):
+    """See module docstring. ``__call__(x)`` → image in [−1,1];
+    ``__call__(x, extract=ids)`` → (image, [tapped features])."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    n_downsampling: int = 2
+    padding_type: str = "reflect"
+    norm: str = "instance"
+    activation: str = "relu"
+    use_bias: bool = True        # Basic_GAN lineage uses False
+    # Deleted experimental features — accepted, fail loudly if enabled
+    # (reference constructor args, generator_resnet_attn.py:88-99)
+    use_attention: bool = False
+    attn_layers: Sequence[int] = (3, 7)
+    use_channel_attn: bool = False
+    channel_attn_layers: Sequence[int] = (5,)
+    use_style_dropout: bool = False
+    alpha_min: float = 0.4
+    alpha_max: float = 0.9
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.use_attention or self.use_channel_attn or self.use_style_dropout:
+            raise NotImplementedError(
+                "attention / channel-attention / style-dropout were removed from "
+                "the reference baseline (Documentation/BASELINE_REVERSION.md); "
+                "the flags exist for config parity but are not implemented."
+            )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, extract: Sequence[int] | None = None):
+        act = activation_fn(self.activation)
+        stem_pad = 3 if self.padding_type != "reflect" else 0
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        feats: list = []
+        tap_set = set(extract) if extract is not None else None
+        layer_idx = 0
+
+        def tap(h):
+            nonlocal layer_idx
+            if tap_set is not None and layer_idx in tap_set:
+                feats.append(h)
+            layer_idx += 1
+
+        x = x.astype(self.dtype)
+
+        # Stem: ReflectionPad(3) + 7×7 conv + norm + act (ref :105-115)
+        h = pad_2d(x, 3, self.padding_type) if self.padding_type == "reflect" else x
+        h = Conv2d(
+            self.ngf, kernel_size=7, padding=stem_pad, use_bias=self.use_bias,
+            name="initial_conv", **kw,
+        )(h)
+        h = _norm(h, self.norm)
+        h = act(h)
+        tap(h)
+
+        # Downsampling ×n (ref :118-127)
+        for i in range(self.n_downsampling):
+            mult = 2 ** i
+            h = Conv2d(
+                self.ngf * mult * 2, kernel_size=3, strides=2, padding=1,
+                use_bias=self.use_bias, name=f"down_{i}", **kw,
+            )(h)
+            h = _norm(h, self.norm)
+            h = act(h)
+            tap(h)
+
+        # Residual trunk (ref :129-138)
+        res_channels = self.ngf * 2 ** self.n_downsampling
+        for i in range(self.n_blocks):
+            h = ResidualBlock(
+                res_channels,
+                padding_type=self.padding_type,
+                norm=self.norm,
+                activation=self.activation,
+                use_bias=self.use_bias,
+                name=f"res_{i}",
+                **kw,
+            )(h)
+            tap(h)
+
+        # Upsampling ×n (ref :140-152)
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            h = ConvTranspose2d(
+                self.ngf * mult // 2, kernel_size=3, strides=2, padding=1,
+                output_padding=1, use_bias=self.use_bias, name=f"up_{i}", **kw,
+            )(h)
+            h = _norm(h, self.norm)
+            h = act(h)
+            tap(h)
+
+        # Output head: ReflectionPad(3) + 7×7 conv + tanh (ref :154-162);
+        # both reference lineages keep bias on the final conv
+        out = pad_2d(h, 3, self.padding_type) if self.padding_type == "reflect" else h
+        out = Conv2d(
+            self.output_nc, kernel_size=7, padding=stem_pad, use_bias=True,
+            name="output_conv", **kw,
+        )(out)
+        out = jnp.tanh(out)
+
+        if extract is not None:
+            return out, feats
+        return out

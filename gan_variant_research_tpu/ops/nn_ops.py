@@ -1,0 +1,88 @@
+"""Core NN primitives with PyTorch-matching semantics, NHWC layout.
+
+Equivalents of the layers the reference exercises through torch.nn
+(SURVEY.md §2.4): InstanceNorm2d (no affine, biased variance, eps 1e-5),
+ReflectionPad2d, LeakyReLU(0.2), AvgPool2d(3, 2, padding=1,
+count_include_pad=False) for the multiscale-D pyramid, plus PyTorch-default
+conv initializers so training dynamics match the reference's
+(kaiming_uniform(a=√5) ⇒ U(±1/√fan_in); torch.nn.Conv2d default).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over spatial dims for NHWC input, no affine parameters.
+
+    Matches torch.nn.InstanceNorm2d defaults (affine=False, biased var,
+    eps=1e-5), used throughout the reference generator
+    (GAN_Variant1/models/generator_resnet_attn.py:56,114) in NCHW.
+    Statistics are computed in fp32 for bf16 stability.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return out.astype(orig_dtype)
+
+
+def reflect_pad_2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """ReflectionPad2d for NHWC input (torch.nn.ReflectionPad2d)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def avg_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool2d(kernel=3, stride=2, padding=1, count_include_pad=False) on
+    NHWC — the multiscale-discriminator downsampler
+    (GAN_Variant1/models/discriminator_patchgan.py:106)."""
+    window = (1, 3, 3, 1)
+    strides = (1, 2, 2, 1)
+    padding = ((0, 0), (1, 1), (1, 1), (0, 0))
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, padding)
+    ones = jnp.ones(x.shape[1:3], dtype=x.dtype)[None, :, :, None]
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides, padding)
+    return summed / counts
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch Conv2d default weight init for HWIO kernels:
+    kaiming_uniform(a=√5) ⇒ U(−1/√fan_in, 1/√fan_in), fan_in = kh*kw*in_c."""
+    kh, kw, in_c, _ = shape
+    fan_in = kh * kw * in_c
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    """PyTorch Conv2d default bias init: U(−1/√fan_in, 1/√fan_in)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def torch_convtranspose_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch ConvTranspose2d default weight init for HWIO kernels.
+
+    PyTorch computes fan_in on the (in_c, out_c, kh, kw) weight as
+    out_c*kh*kw; with flax's HWIO layout and ``transpose_kernel=True`` the
+    stored kernel is (kh, kw, out_c, in_c) so fan_in = kh*kw*shape[2]... but
+    flax ConvTranspose with transpose_kernel=True stores (kh, kw, out, in);
+    PyTorch's fan_in for ConvTranspose2d is in_channels-side:
+    weight shape (in, out, kh, kw) ⇒ fan_in = out*kh*kw.
+    """
+    kh, kw, a, b = shape
+    fan_in = kh * kw * a  # matches torch: out_c * kh * kw with transposed layout
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)

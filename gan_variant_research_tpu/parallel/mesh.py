@@ -1,0 +1,83 @@
+"""Device mesh and sharding helpers.
+
+One small module routes all cross-device communication (SURVEY.md §2.4):
+params/optimizer state are replicated, batches are sharded along the
+``data`` axis, and gradient reduction happens inside jit via XLA collectives
+(`jax.lax.pmean` under `shard_map`, riding ICI). Works unchanged on a
+single device — the mesh is just 1-wide and the collectives are no-ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshContext:
+    """A mesh plus its canonical shardings for DP training."""
+
+    mesh: Mesh
+    data_axis: str = DATA_AXIS
+
+    @property
+    def num_devices(self) -> int:
+        return int(np.prod(self.mesh.devices.shape))
+
+    def batch_spec(self, ndim: int) -> P:
+        """Shard the leading (batch) dim, replicate the rest."""
+        return P(self.data_axis, *([None] * (ndim - 1)))
+
+    def batch_sharding(self, ndim: int) -> NamedSharding:
+        return NamedSharding(self.mesh, self.batch_spec(ndim))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def create_mesh(
+    num_devices: int | None = None,
+    data_axis: str = DATA_AXIS,
+    devices: list | None = None,
+) -> MeshContext:
+    """Create a 1-D data-parallel mesh over the local devices.
+
+    ``num_devices=None`` takes every available device; an explicit count must
+    divide into what is available (uses a prefix).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"Requested {num_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:num_devices]
+    mesh = Mesh(np.asarray(devices), (data_axis,))
+    return MeshContext(mesh=mesh, data_axis=data_axis)
+
+
+def batch_sharding(ctx: MeshContext, ndim: int) -> NamedSharding:
+    return ctx.batch_sharding(ndim)
+
+
+def replicated_sharding(ctx: MeshContext) -> NamedSharding:
+    return ctx.replicated()
+
+
+def shard_batch(ctx: MeshContext, batch):
+    """Place a host array tree onto the mesh, sharded along the batch dim."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, ctx.batch_sharding(np.ndim(x))), batch
+    )
+
+
+def replicate(ctx: MeshContext, tree):
+    """Place a host array tree onto the mesh fully replicated."""
+    sharding = ctx.replicated()
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

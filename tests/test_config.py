@@ -1,0 +1,53 @@
+import pytest
+
+from gan_variant_research_tpu.core.config import (
+    ConfigError,
+    CUT_SCHEMA,
+    load_config,
+    override_config,
+    validate_config,
+)
+
+
+def test_override_coercion():
+    cfg = {"a": {"b": 1}, "flag": False}
+    override_config(
+        cfg,
+        ["a.b=2", "flag=true", "a.c=3.5", "name=hello", "a.d=null", "noequals"],
+    )
+    assert cfg["a"]["b"] == 2
+    assert cfg["flag"] is True
+    assert cfg["a"]["c"] == 3.5
+    assert cfg["name"] == "hello"
+    assert cfg["a"]["d"] is None
+
+
+def test_override_creates_nested():
+    cfg = {}
+    override_config(cfg, ["x.y.z=false"])
+    assert cfg == {"x": {"y": {"z": False}}}
+
+
+def test_validate_unknown_key_warns_and_strict_raises():
+    cfg = {"image_size": 256, "bogus_key": 1}
+    with pytest.warns(UserWarning, match="bogus_key"):
+        problems = validate_config(cfg, CUT_SCHEMA)
+    assert problems
+    with pytest.raises(ConfigError):
+        validate_config(cfg, CUT_SCHEMA, strict=True)
+
+
+def test_validate_type_mismatch_raises():
+    with pytest.raises(ConfigError):
+        validate_config({"image_size": "big"}, CUT_SCHEMA)
+
+
+def test_validate_accepts_reference_shaped_config(tmp_path):
+    # The shipped config mirrors the reference YAML shape and must validate
+    import pathlib
+
+    cfg_dir = pathlib.Path(__file__).parent.parent / "gan_variant_research_tpu" / "configs"
+    cfg = load_config(cfg_dir / "train_gan_cutpp.yaml")
+    assert validate_config(cfg, CUT_SCHEMA) == []
+    assert cfg["image_size"] == 256
+    assert cfg["patchnce"]["nce_layers"] == [0, 4, 8, 12, 16]

@@ -1,0 +1,55 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from gan_variant_research_tpu.parallel import create_mesh, shard_batch, replicate
+
+
+def test_mesh_has_eight_devices():
+    ctx = create_mesh()
+    assert ctx.num_devices == 8
+
+
+def test_mesh_subset():
+    ctx = create_mesh(num_devices=4)
+    assert ctx.num_devices == 4
+
+
+def test_shard_batch_and_replicate(rng):
+    ctx = create_mesh()
+    x = rng.standard_normal((16, 4, 4, 3)).astype(np.float32)
+    sx = shard_batch(ctx, x)
+    assert sx.shape == (16, 4, 4, 3)
+    # each device holds 2 rows of the batch
+    assert len(sx.addressable_shards) == 8
+    assert sx.addressable_shards[0].data.shape == (2, 4, 4, 3)
+    w = replicate(ctx, np.ones((3, 3), np.float32))
+    assert w.addressable_shards[0].data.shape == (3, 3)
+
+
+def test_psum_mean_over_mesh(rng):
+    ctx = create_mesh()
+    x = rng.standard_normal((8, 4)).astype(np.float32)
+
+    def local_mean(xs):
+        return jax.lax.pmean(jnp.mean(xs), axis_name=ctx.data_axis)
+
+    f = shard_map(
+        local_mean,
+        mesh=ctx.mesh,
+        in_specs=P(ctx.data_axis, None),
+        out_specs=P(),
+    )
+    got = float(f(x))
+    assert abs(got - float(x.mean())) < 1e-6
+
+
+def test_single_device_mesh_degrades():
+    ctx = create_mesh(num_devices=1)
+    x = np.ones((4, 2), np.float32)
+    sx = shard_batch(ctx, x)
+    assert len(sx.addressable_shards) == 1

@@ -1,0 +1,138 @@
+"""Threaded host loader producing fixed-shape uint8 NHWC batches.
+
+Replaces the reference's DataLoader worker-process pools
+(train_cutpp.py:139-157: 8 workers, prefetch 4, pin_memory). On TPU the
+host's only jobs are JPEG decode and an optional fixed-size resize — all
+augmentation runs on device (data/augment.py) — so a thread pool (PIL
+decode releases the GIL) plus a bounded prefetch queue suffices and avoids
+process-spawn overhead. Unpaired sampling keeps the reference's semantics:
+two independently reshuffled infinite epoch streams (train_cutpp.py:417-429).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from gan_variant_research_tpu.data.folders import list_images
+
+
+def load_image_u8(path: str | Path, size: int | None = None) -> np.ndarray:
+    """Decode to RGB uint8 HWC; optionally bicubic-resize to size²."""
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if size is not None and im.size != (size, size):
+            im = im.resize((size, size), Image.BICUBIC)
+        return np.asarray(im, dtype=np.uint8)
+
+
+class ImageFolderSource:
+    """A folder of images decoded to a fixed uint8 resolution."""
+
+    def __init__(self, folder: str | Path, size: int):
+        self.paths = list_images(folder)
+        if not self.paths:
+            raise FileNotFoundError(f"No images found in {folder}")
+        self.size = size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, idx: int) -> np.ndarray:
+        return load_image_u8(self.paths[idx], self.size)
+
+
+class _EpochStream:
+    """Infinite stream of decoded batches: reshuffles indices per epoch,
+    drop_last=True (matching the reference loaders, train_cutpp.py:139-157)."""
+
+    def __init__(self, source: ImageFolderSource, batch_size: int, seed: int,
+                 pool: ThreadPoolExecutor):
+        self.source = source
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.pool = pool
+        self._order: list[int] = []
+        self._pos = 0
+
+    def _next_indices(self) -> list[int]:
+        if self._pos + self.batch_size > len(self._order):
+            self._order = self.rng.permutation(len(self.source)).tolist()
+            self._pos = 0
+        idx = self._order[self._pos : self._pos + self.batch_size]
+        self._pos += self.batch_size
+        return idx
+
+    def next_batch(self) -> np.ndarray:
+        idx = self._next_indices()
+        imgs = list(self.pool.map(self.source.get, idx))
+        return np.stack(imgs, axis=0)
+
+
+class UnpairedLoader:
+    """Two-domain unpaired loader with background prefetch.
+
+    ``__next__`` yields (photos_u8, monets_u8) uint8 NHWC batches. A
+    producer thread keeps ``prefetch`` batches decoded ahead of the step.
+    """
+
+    def __init__(
+        self,
+        photos_dir: str | Path,
+        monet_dir: str | Path,
+        batch_size: int,
+        size: int,
+        seed: int = 42,
+        num_workers: int = 8,
+        prefetch: int = 4,
+    ):
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.photos = _EpochStream(
+            ImageFolderSource(photos_dir, size), batch_size, seed, self.pool
+        )
+        self.monets = _EpochStream(
+            ImageFolderSource(monet_dir, size), batch_size, seed + 1, self.pool
+        )
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    @property
+    def num_photos(self):
+        return len(self.photos.source)
+
+    @property
+    def num_monets(self):
+        return len(self.monets.source)
+
+    def _produce(self):
+        while not self._stop.is_set():
+            batch = (self.photos.next_batch(), self.monets.next_batch())
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+        self.pool.shutdown(wait=False, cancel_futures=True)

@@ -1,0 +1,407 @@
+"""CUT training: one donated jitted step with full reference semantics.
+
+Semantics matched against GAN_Variant1/training/train_cutpp.py:165-331
+(train_step + r1_regularization):
+
+1. D update — hinge on (DiffAug(real), DiffAug(stop_grad(fake))); reals are
+   photos in the reference (:246, a documented quirk — SURVEY.md §2.6 item
+   1) or Monets with the CUT-correct ``runtime.d_real_domain: monet``.
+2. Lazy R1 every ``r1.every`` steps as a SECOND D optimizer step
+   (:257-263): fp32 D re-forward, grad-of-grad w.r.t. the images
+   (jax.grad-of-jax.grad — no create_graph plumbing needed), penalty
+   weighted by gamma·every. A `lax.cond` keeps both branches in one
+   compiled step.
+3. G update — adv hinge on DiffAug(fake) against the *updated* D +
+   PatchNCE (src features detached) + fp32-island identity loss with the
+   linear warmup weight (:224-228).
+4. EMA shadow update (decay 0.999) every step.
+
+TPU-first deviations (gradient-equivalent, SURVEY.md §3.1): the fake image
+and the source-side NCE features come from a single generator forward
+(the reference runs 5 G forwards/step); the D real/fake passes are one
+batched forward. Data augmentation runs on device inside the same jit.
+Scale-out is GSPMD data parallelism: params/opt-state replicated, batches
+sharded on the leading axis over the mesh; XLA inserts the gradient
+all-reduces (SURVEY.md §2.4 "distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_variant_research_tpu.core.precision import Policy, policy_from_config
+from gan_variant_research_tpu.core.prng import step_keys
+from gan_variant_research_tpu.data.augment import train_augment
+from gan_variant_research_tpu.losses import (
+    discriminator_hinge_loss,
+    generator_hinge_loss,
+    patch_nce_loss,
+    identity_loss,
+)
+from gan_variant_research_tpu.models import (
+    MultiscaleDiscriminator,
+    ResNetGenerator,
+)
+from gan_variant_research_tpu.ops.diffaugment import diff_augment
+from gan_variant_research_tpu.parallel.mesh import MeshContext, create_mesh
+from gan_variant_research_tpu.train.ema import ema_init, ema_update
+from gan_variant_research_tpu.train.optim import optimizer_from_config
+
+
+class CUTTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    d_spectral: Any
+    opt_g: Any
+    opt_d: Any
+    ema: Any
+    base_key: jax.Array
+
+
+def build_generator(gen_cfg: dict, policy: Policy) -> ResNetGenerator:
+    """Mirror of the reference generator builder (train_cutpp.py:93-110)."""
+    sd = gen_cfg.get("style_dropout") or {}
+    return ResNetGenerator(
+        output_nc=3,
+        ngf=gen_cfg.get("ngf", 64),
+        n_blocks=gen_cfg.get("n_blocks", 9),
+        n_downsampling=gen_cfg.get("n_downsampling", 2),
+        padding_type=gen_cfg.get("padding_type", "reflect"),
+        norm=gen_cfg.get("norm", "instance"),
+        activation=gen_cfg.get("activation", "relu"),
+        use_attention=gen_cfg.get("use_attention", False),
+        attn_layers=tuple(gen_cfg.get("attn_layers", (3, 7))),
+        use_channel_attn=gen_cfg.get("use_channel_attn", False),
+        channel_attn_layers=tuple(gen_cfg.get("channel_attn_layers", (5,))),
+        use_style_dropout=gen_cfg.get("use_style_dropout", False),
+        alpha_min=sd.get("alpha_min", 0.4),
+        alpha_max=sd.get("alpha_max", 0.9),
+        dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype,
+    )
+
+
+def build_discriminator(disc_cfg: dict, policy: Policy) -> MultiscaleDiscriminator:
+    """Mirror of the reference discriminator builder (train_cutpp.py:112-119)."""
+    return MultiscaleDiscriminator(
+        ndf=disc_cfg.get("ndf", 64),
+        n_layers=disc_cfg.get("n_layers", 3),
+        num_scales=disc_cfg.get("num_scales", 1),
+        norm=disc_cfg.get("norm", "none"),
+        use_spectral_norm=disc_cfg.get("use_spectral_norm", False),
+        dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype,
+    )
+
+
+LOSS_KEYS = ("d_loss", "g_loss", "g_adv", "nce", "identity", "r1", "identity_weight")
+
+
+class CUTTrainer:
+    """Owns the models, optimizers, mesh and the compiled train step."""
+
+    def __init__(self, config: dict, mesh: MeshContext | None = None):
+        self.config = config
+        self.policy = policy_from_config(config)
+        par_cfg = config.get("parallel") or {}
+        self.mesh = mesh or create_mesh(
+            num_devices=par_cfg.get("num_devices"),
+            data_axis=par_cfg.get("data_axis", "data"),
+        )
+
+        gen_cfg = config["model"]["generator"]
+        disc_cfg = config["model"]["discriminator"]
+        self.generator = build_generator(gen_cfg, self.policy)
+        self.discriminator = build_discriminator(disc_cfg, self.policy)
+        # fp32 twins share the same param trees — the fp32 islands
+        fp32 = Policy(compute_dtype=jnp.float32)
+        self.generator_f32 = build_generator(gen_cfg, fp32)
+        self.discriminator_f32 = build_discriminator(disc_cfg, fp32)
+
+        max_steps = self._max_steps_hint()
+        self.opt_g = optimizer_from_config(
+            config["optim"]["G"], config.get("grad_clip_g", 10.0), max_steps
+        )
+        self.opt_d = optimizer_from_config(
+            config["optim"]["D"], config.get("grad_clip_d", 10.0), max_steps
+        )
+
+        runtime = config.get("runtime") or {}
+        self.d_real_domain = runtime.get("d_real_domain", "monet")
+        if self.d_real_domain not in ("photo", "monet"):
+            raise ValueError(f"runtime.d_real_domain must be photo|monet, got {self.d_real_domain}")
+
+        # Donating the state buffers halves peak HBM on TPU, but the XLA CPU
+        # backend deadlocks its collective rendezvous when donation is
+        # combined with GSPMD sharding (observed on the multi-virtual-device
+        # CPU test mesh) — so donation defaults off on CPU.
+        donate = runtime.get("donate")
+        if donate is None:
+            donate = jax.default_backend() != "cpu"
+        rep = self.mesh.replicated()
+        batch_sh = self.mesh.batch_sharding(4)
+        self.train_step = jax.jit(
+            self._train_step,
+            donate_argnums=(0,) if donate else (),
+            in_shardings=(rep, batch_sh, batch_sh),
+            out_shardings=(rep, rep),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _max_steps_hint(self) -> int | None:
+        cfg = self.config
+        if cfg.get("max_steps"):
+            return int(cfg["max_steps"])
+        return None
+
+    def init_state(self, seed: int | None = None) -> CUTTrainState:
+        seed = seed if seed is not None else self.config.get("seed", 42)
+        size = self.config.get("image_size", 256)
+        key = jax.random.key(seed)
+        kg, kd, krun = jax.random.split(key, 3)
+        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+        g_vars = self.generator.init(kg, dummy)
+        d_vars = self.discriminator.init(kd, dummy)
+        g_params = g_vars["params"]
+        d_params = d_vars["params"]
+        d_spectral = d_vars.get("spectral", {})
+        state = CUTTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            d_params=d_params,
+            d_spectral=d_spectral,
+            opt_g=self.opt_g.init(g_params),
+            opt_d=self.opt_d.init(d_params),
+            ema=ema_init(g_params),
+            base_key=krun,
+        )
+        return jax.device_put(state, self.mesh.replicated())
+
+    def _apply_d(self, d_params, d_spectral, x, update_sn: bool, fp32: bool = False):
+        model = self.discriminator_f32 if fp32 else self.discriminator
+        variables = {"params": d_params}
+        if d_spectral:
+            variables["spectral"] = d_spectral
+            if update_sn:
+                preds, mut = model.apply(
+                    variables, x, update_sn=True, mutable=["spectral"]
+                )
+                return preds, mut["spectral"]
+            return model.apply(variables, x, update_sn=False), d_spectral
+        return model.apply(variables, x), d_spectral
+
+    # ------------------------------------------------------------------ #
+
+    def _train_step(self, state: CUTTrainState, photos_u8, monets_u8):
+        cfg = self.config
+        lw = cfg["loss_weights"]
+        adv_w = float(lw.get("adv", 1.0))
+        nce_w = float(lw.get("patchnce", 1.0))
+        idt_warm = float(lw.get("identity_warm", 0.1))
+        idt_final = float(lw.get("identity_final", 0.0))
+        warmup_steps = int(cfg.get("warmup_steps", 20000))
+        nce_cfg = cfg.get("patchnce") or {}
+        nce_layers = tuple(nce_cfg.get("nce_layers", (0, 4, 8, 12, 16)))
+        temperature = float(nce_cfg.get("temperature", 0.07))
+        num_patches = int(nce_cfg.get("num_patches", 256))
+        r1_cfg = cfg.get("r1") or {}
+        r1_gamma = float(r1_cfg.get("gamma", 0.0))
+        r1_every = int(r1_cfg.get("every", 16))
+        da_cfg = cfg.get("diffaugment") or {}
+        da_policy = tuple(da_cfg.get("policy", ())) if da_cfg.get("enable") else None
+        ema_decay = float((cfg.get("ema") or {}).get("decay", 0.999))
+        image_size = int(cfg.get("image_size", 256))
+
+        step = state.step
+        keys = step_keys(
+            state.base_key,
+            step,
+            ("photo_aug", "monet_aug", "da_real", "da_fake", "da_g", "nce"),
+        )
+
+        # Device-resident train transforms (dataio/transforms.py:30-47)
+        photos = train_augment(keys["photo_aug"], photos_u8, image_size)
+        monets = train_augment(keys["monet_aug"], monets_u8, image_size)
+
+        # Identity warmup weight (train_cutpp.py:224-228)
+        frac = jnp.minimum(step.astype(jnp.float32) / warmup_steps, 1.0)
+        identity_weight = idt_warm + (idt_final - idt_warm) * frac
+
+        real_images = photos if self.d_real_domain == "photo" else monets
+
+        def maybe_aug(key, x):
+            if da_policy is None:
+                return x
+            return diff_augment(key, x, da_policy)
+
+        # ---------------- D update ----------------
+        fake_for_d = jax.lax.stop_gradient(
+            self.generator.apply({"params": state.g_params}, photos)
+        )
+        real_aug = maybe_aug(keys["da_real"], real_images)
+        fake_aug = maybe_aug(keys["da_fake"], fake_for_d)
+        b = real_aug.shape[0]
+
+        def d_loss_fn(d_params):
+            both = jnp.concatenate([real_aug, fake_aug], axis=0)
+            preds, new_spec = self._apply_d(
+                d_params, state.d_spectral, both, update_sn=True
+            )
+            real_preds = [p[:b] for p in preds]
+            fake_preds = [p[b:] for p in preds]
+            return discriminator_hinge_loss(real_preds, fake_preds), new_spec
+
+        (d_loss, d_spectral), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        d_updates, opt_d_state = self.opt_d.update(d_grads, state.opt_d, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- lazy R1 (second D step) ----------------
+        if r1_gamma > 0:
+            real_f32 = real_images.astype(jnp.float32)
+
+            def r1_branch(operand):
+                d_p, opt_s = operand
+
+                def r1_loss_fn(p):
+                    def d_sum(imgs):
+                        preds, _ = self._apply_d(
+                            p, d_spectral, imgs, update_sn=False, fp32=True
+                        )
+                        return sum(jnp.sum(x.astype(jnp.float32)) for x in preds)
+
+                    g_img = jax.grad(d_sum)(real_f32)
+                    r1 = jnp.mean(jnp.sum(jnp.square(g_img), axis=(1, 2, 3)))
+                    return r1 * r1_gamma * r1_every, r1
+
+                (_, r1), grads = jax.value_and_grad(r1_loss_fn, has_aux=True)(d_p)
+                upd, opt_s = self.opt_d.update(grads, opt_s, d_p)
+                return optax.apply_updates(d_p, upd), opt_s, r1
+
+            def no_r1(operand):
+                d_p, opt_s = operand
+                return d_p, opt_s, jnp.zeros((), jnp.float32)
+
+            d_params, opt_d_state, r1_value = jax.lax.cond(
+                step % r1_every == 0, r1_branch, no_r1, (d_params, opt_d_state)
+            )
+        else:
+            r1_value = jnp.zeros((), jnp.float32)
+
+        # ---------------- G update (against the updated D) ----------------
+        def g_loss_fn(g_params):
+            fake, src_feats = self.generator.apply(
+                {"params": g_params}, photos, extract=nce_layers
+            )
+            fake_aug_g = maybe_aug(keys["da_g"], fake)
+            preds, _ = self._apply_d(d_params, d_spectral, fake_aug_g, update_sn=False)
+            g_adv = generator_hinge_loss(preds)
+
+            if nce_w > 0:
+                _, tgt_feats = self.generator.apply(
+                    {"params": g_params}, fake, extract=nce_layers
+                )
+                nce = patch_nce_loss(
+                    keys["nce"],
+                    [jax.lax.stop_gradient(f) for f in src_feats],
+                    tgt_feats,
+                    temperature=temperature,
+                    num_patches=num_patches,
+                )
+            else:
+                nce = jnp.zeros((), jnp.float32)
+
+            # fp32-island identity loss, skipped entirely after warmup
+            def idt_fn(_):
+                rec = self.generator_f32.apply(
+                    {"params": g_params}, monets.astype(jnp.float32)
+                )
+                return identity_loss(rec, monets)
+
+            idt = jax.lax.cond(
+                identity_weight > 0, idt_fn, lambda _: jnp.zeros((), jnp.float32), None
+            )
+
+            g_loss = adv_w * g_adv + nce_w * nce + identity_weight * idt
+            return g_loss, (g_adv, nce, idt)
+
+        (g_loss, (g_adv, nce, idt)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_updates, opt_g_state = self.opt_g.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        ema = ema_update(state.ema, g_params, ema_decay)
+
+        new_state = state.replace(
+            step=step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            d_spectral=d_spectral,
+            opt_g=opt_g_state,
+            opt_d=opt_d_state,
+            ema=ema,
+        )
+        losses = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "g_adv": g_adv,
+            "nce": nce,
+            "identity": idt,
+            "r1": r1_value,
+            "identity_weight": identity_weight,
+        }
+        return new_state, losses
+
+    # ------------------------------------------------------------------ #
+
+    def generate(self, params, images, use_ema: bool = True):
+        """Inference forward (bf16) on preprocessed [−1,1] images."""
+        return self.generator.apply({"params": params}, images)
+
+    def checkpoint_payload(self, state: CUTTrainState) -> dict:
+        """The reference checkpoint schema (io_ckpt.py:56-87), msgpack-side."""
+        return {
+            "generator": state.g_params,
+            "discriminator": state.d_params,
+            "d_spectral": state.d_spectral,
+            "opt_G": state.opt_g,
+            "opt_D": state.opt_d,
+            "ema_G": {"decay": (self.config.get("ema") or {}).get("decay", 0.999),
+                      "shadow": state.ema},
+            "base_key": jax.random.key_data(state.base_key),
+        }
+
+    def state_from_payload(self, payload: dict, step: int) -> CUTTrainState:
+        template = self.init_state()
+        restored = flax_restore(template, payload, step)
+        return jax.device_put(restored, self.mesh.replicated())
+
+
+def flax_restore(template: CUTTrainState, payload: dict, step: int) -> CUTTrainState:
+    """Rebuild a train state from a checkpoint payload dict."""
+    import flax.serialization as ser
+
+    def like(target, data):
+        return ser.from_state_dict(target, data)
+
+    return template.replace(
+        step=jnp.asarray(step, jnp.int32),
+        g_params=like(template.g_params, payload["generator"]),
+        d_params=like(template.d_params, payload["discriminator"]),
+        d_spectral=like(template.d_spectral, payload.get("d_spectral", {})),
+        opt_g=like(template.opt_g, payload["opt_G"]),
+        opt_d=like(template.opt_d, payload["opt_D"]),
+        ema=like(template.ema, payload["ema_G"]["shadow"]),
+        base_key=jax.random.wrap_key_data(jnp.asarray(payload["base_key"])),
+    )

@@ -1,0 +1,173 @@
+"""End-to-end CUT train-step tests on the virtual 8-device CPU mesh:
+finiteness, R1 cadence, determinism, EMA motion, checkpoint round-trip.
+(The reference has no automated tests; this implements the manual checklist
+in Documentation/BASELINE_REVERSION.md:183-196 — SURVEY.md §4.)"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+from gan_variant_research_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from gan_variant_research_tpu.parallel import create_mesh
+
+
+def tiny_config(**overrides):
+    # NOTE: this CI host has a single CPU core; a full 8-virtual-device train
+    # step exceeds XLA-CPU's 40s collective rendezvous timeout, so trainer
+    # tests use a 2-device mesh (collective coverage at 8 devices lives in
+    # test_parallel.py / the driver's dryrun_multichip).
+    cfg = {
+        "image_size": 32,
+        "batch_size": 8,
+        "seed": 42,
+        "warmup_steps": 10,
+        "grad_clip_g": 10.0,
+        "grad_clip_d": 10.0,
+        "optim": {
+            "G": {"lr": 2e-4, "betas": [0.5, 0.999]},
+            "D": {"lr": 2e-4, "betas": [0.5, 0.999]},
+        },
+        "loss_weights": {
+            "adv": 1.0,
+            "patchnce": 1.0,
+            "identity_warm": 0.1,
+            "identity_final": 0.0,
+        },
+        "model": {
+            "generator": {"ngf": 4, "n_blocks": 2},
+            "discriminator": {"ndf": 4, "n_layers": 2, "num_scales": 1},
+        },
+        "patchnce": {"num_patches": 16, "temperature": 0.07,
+                     "nce_layers": [0, 4, 8, 12, 16]},
+        "diffaugment": {"enable": True, "policy": ["color", "translation", "cutout"]},
+        "r1": {"gamma": 10.0, "every": 2},
+        "ema": {"decay": 0.999},
+        "runtime": {"precision": "fp32", "d_real_domain": "monet"},
+        "parallel": {"num_devices": 2},
+    }
+    for k, v in overrides.items():
+        if isinstance(v, dict) and isinstance(cfg.get(k), dict):
+            cfg[k].update(v)
+        else:
+            cfg[k] = v
+    return cfg
+
+
+def batches(rng, b=8, s=32):
+    p = rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8)
+    m = rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8)
+    return p, m
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return CUTTrainer(tiny_config())
+
+
+def test_steps_run_finite_and_r1_cadence(trainer, rng):
+    state = trainer.init_state()
+    r1_values = []
+    for i in range(4):
+        p, m = batches(rng)
+        state, losses = trainer.train_step(state, p, m)
+        vals = {k: float(v) for k, v in losses.items()}
+        assert all(np.isfinite(v) for v in vals.values()), vals
+        r1_values.append(vals["r1"])
+    assert int(state.step) == 4
+    # r1.every=2 → steps 0, 2 have R1; steps 1, 3 don't
+    assert r1_values[0] > 0 and r1_values[2] > 0
+    assert r1_values[1] == 0 and r1_values[3] == 0
+
+
+def test_identity_warmup_weight_schedule(trainer, rng):
+    state = trainer.init_state()
+    p, m = batches(rng)
+    _, losses = trainer.train_step(state, p, m)
+    # step 0: weight = warm = 0.1, identity loss active
+    assert float(losses["identity_weight"]) == pytest.approx(0.1)
+    assert float(losses["identity"]) > 0
+
+
+def test_determinism_same_seed(rng):
+    p, m = batches(rng)
+    t1 = CUTTrainer(tiny_config())
+    s1 = t1.init_state()
+    s1, l1 = t1.train_step(s1, p, m)
+    t2 = CUTTrainer(tiny_config())
+    s2 = t2.init_state()
+    s2, l2 = t2.train_step(s2, p, m)
+    for k in l1:
+        assert float(l1[k]) == float(l2[k]), k
+
+
+def test_params_and_ema_move(trainer, rng):
+    state = trainer.init_state()
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    ema0 = jax.tree_util.tree_leaves(state.ema)[0].copy()
+    p, m = batches(rng)
+    state, _ = trainer.train_step(state, p, m)
+    g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+    ema1 = jax.tree_util.tree_leaves(state.ema)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    assert not np.allclose(np.asarray(ema0), np.asarray(ema1))
+    # EMA lags the raw params
+    np.testing.assert_allclose(
+        np.asarray(ema1),
+        0.001 * np.asarray(g1) + 0.999 * np.asarray(g0),
+        atol=1e-6,
+    )
+
+
+def test_d_real_domain_switch_changes_losses(rng):
+    p, m = batches(rng)
+    ta = CUTTrainer(tiny_config(runtime={"precision": "fp32", "d_real_domain": "monet"}))
+    tb = CUTTrainer(tiny_config(runtime={"precision": "fp32", "d_real_domain": "photo"}))
+    sa, la = ta.train_step(ta.init_state(), p, m)
+    sb, lb = tb.train_step(tb.init_state(), p, m)
+    assert float(la["d_loss"]) != float(lb["d_loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer, rng):
+    state = trainer.init_state()
+    p, m = batches(rng)
+    state, _ = trainer.train_step(state, p, m)
+    path = save_checkpoint(
+        tmp_path / "ckpt_step1.msgpack",
+        int(state.step),
+        trainer.checkpoint_payload(state),
+        config=trainer.config,
+    )
+    blob = load_checkpoint(path)
+    restored = trainer.state_from_payload(blob["payload"], blob["step"])
+    assert int(restored.step) == 1
+    # continuing from the restored state reproduces the original trajectory
+    p2, m2 = batches(rng)
+    _, l_orig = trainer.train_step(state, p2, m2)
+    _, l_rest = trainer.train_step(restored, p2, m2)
+    for k in l_orig:
+        assert float(l_orig[k]) == pytest.approx(float(l_rest[k]), rel=1e-6), k
+
+
+def test_keep_last_n_pruning(tmp_path):
+    for s in [2, 4, 6, 8]:
+        save_checkpoint(
+            tmp_path / f"ckpt_step{s}.msgpack", s, {"x": np.ones(2)}, keep_last_n=2
+        )
+    left = sorted(p.name for p in tmp_path.glob("ckpt_step*.msgpack"))
+    assert left == ["ckpt_step6.msgpack", "ckpt_step8.msgpack"]
+    assert latest_checkpoint(tmp_path).name == "ckpt_step8.msgpack"
+
+
+def test_nce_disabled_when_weight_zero(rng):
+    t = CUTTrainer(tiny_config(loss_weights={
+        "adv": 1.0, "patchnce": 0.0, "identity_warm": 0.0, "identity_final": 0.0}))
+    p, m = batches(rng)
+    _, losses = t.train_step(t.init_state(), p, m)
+    assert float(losses["nce"]) == 0.0
+    assert float(losses["identity"]) == 0.0

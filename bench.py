@@ -1,0 +1,71 @@
+"""Benchmark: CUT 256×256 training throughput (images/sec/chip).
+
+Runs the flagship donated jitted train step (full semantics: D hinge, lazy
+R1, PatchNCE, identity warmup, DiffAugment, EMA, device-resident
+augmentation) on synthetic uint8 data and prints ONE JSON line:
+
+    {"metric": "images/sec/chip (CUT 256x256 train)", "value": N,
+     "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference trains 60k steps × batch 12 in 8–10 h on an A100
+(Documentation/QUICKSTART_BASELINE.md:105-108) ⇒ ~22.5 images/sec
+(SURVEY.md §6 derived anchor). BASELINE.json targets ≥5× that per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 22.5  # A100 anchor, SURVEY.md §6
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+
+    n_chips = len(jax.devices())
+    batch = 16 * n_chips if jax.default_backend() != "cpu" else 4
+    cfg = _flagship_config(image_size=256, batch_size=batch)
+    if jax.default_backend() == "cpu":
+        # CPU smoke fallback so the bench never hard-fails off-TPU
+        cfg["model"]["generator"] = {"ngf": 8, "n_blocks": 2}
+        cfg["model"]["discriminator"] = {"ndf": 8, "n_layers": 2, "num_scales": 1}
+
+    trainer = CUTTrainer(cfg)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    photos = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
+    monets = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
+
+    # warmup (compile both R1 branches: steps 0 and 1); NOTE: on the axon
+    # tunnel block_until_ready does not reliably wait, so completion is
+    # forced by fetching a scalar value
+    for _ in range(3):
+        state, losses = trainer.train_step(state, photos, monets)
+    float(losses["g_loss"])
+
+    n_steps = 20 if jax.default_backend() != "cpu" else 3
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, losses = trainer.train_step(state, photos, monets)
+    float(losses["g_loss"])  # forces execution of the whole chain
+    dt = time.perf_counter() - t0
+
+    images_per_sec = n_steps * batch / dt
+    per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "images/sec/chip (CUT 256x256 train)",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

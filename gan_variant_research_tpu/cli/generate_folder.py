@@ -1,0 +1,182 @@
+"""Batch inference / submission generation CLI.
+
+Flag surface of the reference generate_folder.py:255-264:
+
+    python -m gan_variant_research_tpu.cli.generate_folder \
+        --ckpt ckpt_final.msgpack --photos data/photo_jpg --out out_dir \
+        [--batch 32] [--size 256] [--limit N] [--no-ema] [--zip images.zip]
+
+Behavioral parity:
+- EMA-first restore: prefers ``ema_G.shadow`` then falls back to the raw
+  ``generator`` params with a warning (reference _pick_state_dict chain,
+  generate_folder.py:127-167);
+- the generator is reconstructed from the config stored in the checkpoint
+  (the reference re-instantiates via inspect.signature kwarg filtering);
+- recursive image listing over 7 extensions, mirrored output tree
+  (generate_folder.py:170-172,222);
+- preprocessing: bilinear resize to size², [−1,1]; postprocessing:
+  clamp→[0,255] round→uint8 (:237-246); JPEG quality 95, subsampling 0,
+  optimize (:248-250);
+- ``--zip`` additionally packs flat-renamed JPEGs for Kaggle submission
+  (the notebook submission flow, cameron-rader-baseline.ipynb cell 9 lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+from gan_variant_research_tpu.data.folders import enumerate_images
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Stylize a photo folder with a trained generator")
+    p.add_argument("--ckpt", required=True, help="Checkpoint (.msgpack)")
+    p.add_argument("--photos", required=True, help="Input photo folder (recursive)")
+    p.add_argument("--out", required=True, help="Output folder (mirrors input tree)")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--limit", type=int, default=None, help="Max images to process")
+    p.add_argument("--no-ema", action="store_true", help="Use raw generator params")
+    p.add_argument("--zip", dest="zip_path", default=None,
+                   help="Also write a flat submission zip (0.jpg..N.jpg)")
+    p.add_argument("--quality", type=int, default=95)
+    return p.parse_args(argv)
+
+
+def load_generator_params(ckpt_path: str, use_ema: bool = True):
+    """EMA-first parameter selection + generator reconstruction from the
+    stored config. Returns (generator module, params, config)."""
+    import jax.numpy as jnp
+
+    from gan_variant_research_tpu.core.precision import policy_from_config
+    from gan_variant_research_tpu.train.checkpoint import load_checkpoint
+    from gan_variant_research_tpu.train.cut_trainer import build_generator
+
+    blob = load_checkpoint(ckpt_path)
+    payload = blob["payload"]
+    config = blob["config"] or {}
+
+    params = None
+    if use_ema:
+        ema = payload.get("ema_G") or {}
+        params = ema.get("shadow")
+        if params is None:
+            print("WARNING: checkpoint has no EMA shadow; falling back to "
+                  "raw generator params", file=sys.stderr)
+    if params is None:
+        params = payload.get("generator")
+    if params is None:
+        raise KeyError(
+            f"No generator parameters found in {ckpt_path} "
+            "(looked for ema_G.shadow and generator)"
+        )
+
+    gen_cfg = (config.get("model") or {}).get("generator") or {}
+    policy = policy_from_config(config) if config else None
+    from gan_variant_research_tpu.core.precision import DEFAULT_POLICY
+
+    generator = build_generator(gen_cfg, policy or DEFAULT_POLICY)
+    params = _as_jnp(params)
+    return generator, params, config
+
+
+def _as_jnp(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def stylize_folder(
+    generator,
+    params,
+    photos_dir: str | Path,
+    out_dir: str | Path,
+    size: int = 256,
+    batch: int = 32,
+    limit: int | None = None,
+    quality: int = 95,
+    zip_path: str | None = None,
+):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gan_variant_research_tpu.ops.color import to_uint8
+    from gan_variant_research_tpu.ops.resize import resize_bilinear
+
+    photos_dir = Path(photos_dir)
+    out_dir = Path(out_dir)
+    paths = enumerate_images(photos_dir, recursive=True)
+    if limit is not None:
+        paths = paths[:limit]
+    if not paths:
+        raise FileNotFoundError(f"No images found under {photos_dir}")
+
+    @jax.jit
+    def forward(u8):
+        x01 = u8.astype(jnp.float32) / 255.0
+        x = jnp.clip(resize_bilinear(x01, (size, size)), 0.0, 1.0) * 2.0 - 1.0
+        y = generator.apply({"params": params}, x)
+        return to_uint8(y)
+
+    written: list[Path] = []
+    for i in range(0, len(paths), batch):
+        chunk = paths[i : i + batch]
+        imgs = []
+        for p in chunk:
+            with Image.open(p) as im:
+                im = im.convert("RGB")
+                if im.size != (size, size):
+                    im = im.resize((size, size), Image.BILINEAR)
+                imgs.append(np.asarray(im, dtype=np.uint8))
+        arr = np.stack(imgs)
+        # pad the final partial batch to the jitted shape
+        pad = 0
+        if arr.shape[0] < batch and i > 0:
+            pad = batch - arr.shape[0]
+            arr = np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), np.uint8)])
+        out = np.asarray(forward(arr))
+        if pad:
+            out = out[: len(chunk)]
+        for p, img in zip(chunk, out):
+            rel = p.relative_to(photos_dir)
+            dst = (out_dir / rel).with_suffix(".jpg")
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(img, "RGB").save(
+                dst, format="JPEG", quality=quality, subsampling=0, optimize=True
+            )
+            written.append(dst)
+        print(f"\r{len(written)}/{len(paths)} images", end="", flush=True)
+    print()
+
+    if zip_path:
+        with zipfile.ZipFile(zip_path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+            for idx, f in enumerate(written):
+                zf.write(f, arcname=f"{idx}.jpg")
+        print(f"Submission zip: {zip_path} ({len(written)} images)")
+    return written
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    generator, params, _ = load_generator_params(args.ckpt, use_ema=not args.no_ema)
+    stylize_folder(
+        generator,
+        params,
+        args.photos,
+        args.out,
+        size=args.size,
+        batch=args.batch,
+        limit=args.limit,
+        quality=args.quality,
+        zip_path=args.zip_path,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""CycleGAN baseline CLI (Basic_GAN/src/train.py:139-144 flag surface):
+
+    python -m gan_variant_research_tpu.cli.train_cyclegan \
+        --config .../baseline.yaml [--set k.v=x ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from gan_variant_research_tpu.core.config import (
+    CYCLEGAN_SCHEMA,
+    load_config,
+    override_config,
+    validate_config,
+)
+from gan_variant_research_tpu.train.cyclegan_loop import train_cyclegan
+
+DEFAULT_CONFIG = Path(__file__).parent.parent / "configs" / "baseline.yaml"
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train CycleGAN baseline (TPU-native)")
+    parser.add_argument("--config", type=str, default=str(DEFAULT_CONFIG))
+    parser.add_argument("--set", nargs="+", default=[], dest="overrides")
+    parser.add_argument("--strict-config", action="store_true")
+    args = parser.parse_args(argv)
+    config = load_config(args.config)
+    config = override_config(config, args.overrides)
+    validate_config(config, CYCLEGAN_SCHEMA, strict=args.strict_config)
+    train_cyclegan(config)
+
+
+if __name__ == "__main__":
+    main()

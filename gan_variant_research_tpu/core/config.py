@@ -279,6 +279,7 @@ CYCLEGAN_SCHEMA: dict = {
         "ngf": int,
         "ndf": int,
         "n_blocks": int,
+        "n_layers": int,
         "spectral_norm_d": bool,
         "generator": str,  # "resnet" | "unet" (notebook lineage)
     },

@@ -89,6 +89,12 @@ class PatchGANDiscriminator(nn.Module):
         logits = Conv2d(1, strides=1, use_bias=True, name="conv_out", **kw)(
             h, update_sn=update_sn
         )
+        if logits.shape[1] == 0 or logits.shape[2] == 0:
+            raise ValueError(
+                f"PatchGAN logit map is empty ({logits.shape}) — input "
+                f"{x.shape[1]}×{x.shape[2]} is too small for n_layers="
+                f"{self.n_layers}; reduce n_layers or increase image size."
+            )
         if extract_features:
             return logits, feats
         return logits

@@ -139,13 +139,12 @@ class CUTTrainer:
         if self.d_real_domain not in ("photo", "monet"):
             raise ValueError(f"runtime.d_real_domain must be photo|monet, got {self.d_real_domain}")
 
-        # Donating the state buffers halves peak HBM on TPU, but the XLA CPU
-        # backend deadlocks its collective rendezvous when donation is
-        # combined with GSPMD sharding (observed on the multi-virtual-device
-        # CPU test mesh) — so donation defaults off on CPU.
-        donate = runtime.get("donate")
-        if donate is None:
-            donate = jax.default_backend() != "cpu"
+        # Donating the state buffers halves peak HBM, but it is broken on
+        # both backends available here: the XLA CPU backend deadlocks its
+        # collective rendezvous when donation meets GSPMD sharding, and the
+        # axon TPU tunnel fails executions with an async InvalidArgument.
+        # Default OFF; set runtime.donate=true on a real multi-chip TPU VM.
+        donate = bool(runtime.get("donate", False))
         rep = self.mesh.replicated()
         batch_sh = self.mesh.batch_sharding(4)
         self.train_step = jax.jit(

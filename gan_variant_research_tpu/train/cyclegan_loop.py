@@ -1,0 +1,76 @@
+"""CycleGAN baseline training loop (Basic_GAN/src/train.py:33-137 behavior):
+epoch loop, per-epoch LR decay (inside the step's schedule), checkpoint dict
+every ``save_every`` epochs. Unpaired sampling: domain A drives the epoch
+length max(|A|, |B|) (src/data.py:52-62); both domains stream as
+independently reshuffled epochs."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from gan_variant_research_tpu.data.loader import UnpairedLoader
+from gan_variant_research_tpu.train.checkpoint import save_checkpoint
+from gan_variant_research_tpu.train.cyclegan_trainer import CycleGANTrainer
+from gan_variant_research_tpu.train.loss_tracker import Averager
+
+
+def train_cyclegan(config: dict, max_steps_override: int | None = None):
+    data_cfg = config["data"]
+    t_cfg = config["training"]
+    root = Path(data_cfg["root"])
+    loader = UnpairedLoader(
+        root / data_cfg["domain_a"],
+        root / data_cfg["domain_b"],
+        batch_size=t_cfg["batch_size"],
+        size=data_cfg.get("load_size", 286),
+        seed=t_cfg.get("seed", 0),
+        num_workers=data_cfg.get("num_workers", 4),
+    )
+    steps_per_epoch = max(loader.num_photos, loader.num_monets) // t_cfg["batch_size"]
+    trainer = CycleGANTrainer(config, steps_per_epoch=steps_per_epoch)
+    state = trainer.init_state()
+
+    save_dir = Path(t_cfg["save_dir"])
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    total_epochs = t_cfg["epochs"]
+    max_steps = max_steps_override or t_cfg.get("max_steps") or (
+        total_epochs * steps_per_epoch
+    )
+    save_every = t_cfg.get("save_every", 10)
+    averager = Averager()
+
+    step = 0
+    t0 = time.perf_counter()
+    try:
+        while step < max_steps:
+            a_u8, b_u8 = next(loader)
+            state, losses = trainer.train_step(state, a_u8, b_u8)
+            averager.add({k: float(v) for k, v in losses.items()})
+            step += 1
+
+            if step % steps_per_epoch == 0 or step == max_steps:
+                epoch = step // max(1, steps_per_epoch)
+                avg = averager.averages()
+                rate = step * t_cfg["batch_size"] / (time.perf_counter() - t0)
+                print(
+                    f"Epoch {epoch}/{total_epochs} "
+                    + " | ".join(f"{k}: {v:.3f}" for k, v in avg.items())
+                    + f" | {rate:.1f} img/s"
+                )
+                averager.clear()
+                if any(not np.isfinite(v) for v in avg.values()):
+                    raise ValueError(f"NaN loss at epoch {epoch}: {avg}")
+                if epoch % save_every == 0 or step == max_steps:
+                    path = save_dir / f"ckpt_e{epoch}.msgpack"
+                    save_checkpoint(
+                        path, int(state.step), trainer.checkpoint_payload(state),
+                        config=config, metrics={"epoch": epoch},
+                    )
+                    print(f"Saved checkpoint to {path}")
+    finally:
+        loader.close()
+    return state, trainer

@@ -1,0 +1,293 @@
+"""CycleGAN baseline training — one donated jitted step (Basic_GAN parity).
+
+Semantics matched against Basic_GAN/src/train.py:33-137:
+
+- G step: joint update of both generators from one total loss —
+  adv(D_B(fake_B)) + adv(D_A(fake_A)) + λ_cyc·(L1(rec_A,A)+L1(rec_B,B)) +
+  λ_id·(L1(idt_A,A)+L1(idt_B,B)) — with a single Adam over the combined
+  parameter tree (the reference's joint optimizer, :45-48);
+- D_A step on (A, stop_grad(fake_A)), D_B step on (B, stop_grad(fake_B)),
+  each 0.5·(real+fake) (:99-114);
+- LSGAN (MSE) or BCE adversarial losses (src/losses.py:5-24);
+- LR: constant then linear decay to 0 from ``lr_decay_after`` epochs
+  (LambdaLR rule :27-31), expressed as a step-based optax schedule with
+  epoch granularity;
+- no grad clipping on any net (the reference clips nothing here).
+
+The generator is the ResNet-9 (bias-free convs, Basic_GAN/src/models.py:23)
+or the notebook-lineage U-Net (``model.generator: unet``, SURVEY.md §2.5).
+Augmentation (resize load_size → random-crop → flip) runs on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_variant_research_tpu.core.precision import Policy, policy_from_config
+from gan_variant_research_tpu.core.prng import step_keys
+from gan_variant_research_tpu.data.augment import cyclegan_augment
+from gan_variant_research_tpu.losses import cycle_loss, gan_loss, identity_loss
+from gan_variant_research_tpu.models import (
+    PatchGANDiscriminator,
+    ResNetGenerator,
+    UNetGenerator,
+)
+from gan_variant_research_tpu.parallel.mesh import MeshContext, create_mesh
+from gan_variant_research_tpu.train.optim import make_optimizer
+
+
+class CycleGANTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any           # {"G_A2B": ..., "G_B2A": ...} — one joint tree
+    da_params: Any
+    db_params: Any
+    da_spectral: Any
+    db_spectral: Any
+    opt_g: Any
+    opt_da: Any
+    opt_db: Any
+    base_key: jax.Array
+
+
+def _build_generator(model_cfg: dict, policy: Policy):
+    kind = model_cfg.get("generator", "resnet")
+    if kind == "unet":
+        return UNetGenerator(
+            ngf=model_cfg.get("ngf", 64),
+            dtype=policy.compute_dtype,
+            param_dtype=policy.param_dtype,
+        )
+    return ResNetGenerator(
+        ngf=model_cfg.get("ngf", 64),
+        n_blocks=model_cfg.get("n_blocks", 9),
+        use_bias=False,  # Basic_GAN convs are bias-free (src/models.py:12-52)
+        dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype,
+    )
+
+
+class CycleGANTrainer:
+    def __init__(self, config: dict, mesh: MeshContext | None = None,
+                 steps_per_epoch: int | None = None):
+        self.config = config
+        self.policy = policy_from_config(config)
+        par_cfg = config.get("parallel") or {}
+        self.mesh = mesh or create_mesh(
+            num_devices=par_cfg.get("num_devices"),
+            data_axis=par_cfg.get("data_axis", "data"),
+        )
+
+        model_cfg = config["model"]
+        n_blocks = model_cfg.get("n_blocks", 9)
+        if model_cfg.get("generator", "resnet") == "resnet" and n_blocks not in (6, 9):
+            raise ValueError("CycleGAN baseline uses 6 or 9 res blocks")
+        self.generator = _build_generator(model_cfg, self.policy)
+        self.discriminator = PatchGANDiscriminator(
+            ndf=model_cfg.get("ndf", 64),
+            n_layers=model_cfg.get("n_layers", 3),
+            norm="instance",
+            use_spectral_norm=model_cfg.get("spectral_norm_d", False),
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )
+
+        opt_cfg = config["optim"]
+        t_cfg = config["training"]
+        self.steps_per_epoch = steps_per_epoch or 1
+        total_steps = t_cfg["epochs"] * self.steps_per_epoch
+        decay_start_epoch = opt_cfg.get("lr_decay_after", t_cfg["epochs"])
+
+        def epoch_decay(lr):
+            # LambdaLR rule with epoch granularity (train.py:27-31)
+            def schedule(count):
+                epoch = count // self.steps_per_epoch
+                frac = (epoch - decay_start_epoch) / max(
+                    1, t_cfg["epochs"] - decay_start_epoch
+                )
+                factor = jnp.clip(1.0 - frac, 0.0, 1.0)
+                return lr * jnp.where(epoch < decay_start_epoch, 1.0, factor)
+
+            return schedule
+
+        betas = tuple(opt_cfg.get("betas", [0.5, 0.999]))
+        self.opt_g = make_optimizer(betas=betas, schedule=epoch_decay(float(opt_cfg["lr_g"])))
+        self.opt_da = make_optimizer(betas=betas, schedule=epoch_decay(float(opt_cfg["lr_d"])))
+        self.opt_db = make_optimizer(betas=betas, schedule=epoch_decay(float(opt_cfg["lr_d"])))
+
+        self.gan_mode = config.get("loss", {}).get("gan", "lsgan")
+        if self.gan_mode not in ("lsgan", "bce"):
+            raise ValueError(f"loss.gan must be lsgan|bce, got {self.gan_mode}")
+
+        runtime = config.get("runtime") or {}
+        # see CUTTrainer: donation is broken on both available backends
+        donate = bool(runtime.get("donate", False))
+        rep = self.mesh.replicated()
+        bsh = self.mesh.batch_sharding(4)
+        self.train_step = jax.jit(
+            self._train_step,
+            donate_argnums=(0,) if donate else (),
+            in_shardings=(rep, bsh, bsh),
+            out_shardings=(rep, rep),
+        )
+
+    def init_state(self, seed: int | None = None) -> CycleGANTrainState:
+        seed = seed if seed is not None else self.config["training"].get("seed", 0)
+        size = self.config["data"].get("img_size", 256)
+        key = jax.random.key(seed)
+        k1, k2, k3, k4, krun = jax.random.split(key, 5)
+        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+        gab = self.generator.init(k1, dummy)["params"]
+        gba = self.generator.init(k2, dummy)["params"]
+        da_vars = self.discriminator.init(k3, dummy)
+        db_vars = self.discriminator.init(k4, dummy)
+        g_params = {"G_A2B": gab, "G_B2A": gba}
+        state = CycleGANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            da_params=da_vars["params"],
+            db_params=db_vars["params"],
+            da_spectral=da_vars.get("spectral", {}),
+            db_spectral=db_vars.get("spectral", {}),
+            opt_g=self.opt_g.init(g_params),
+            opt_da=self.opt_da.init(da_vars["params"]),
+            opt_db=self.opt_db.init(db_vars["params"]),
+            base_key=krun,
+        )
+        return jax.device_put(state, self.mesh.replicated())
+
+    def _apply_g(self, params, x):
+        return self.generator.apply({"params": params}, x)
+
+    def _apply_d(self, params, spectral, x, update_sn=False):
+        variables = {"params": params}
+        if spectral:
+            variables["spectral"] = spectral
+            if update_sn:
+                out, mut = self.discriminator.apply(
+                    variables, x, update_sn=True, mutable=["spectral"]
+                )
+                return out, mut["spectral"]
+            return self.discriminator.apply(variables, x), spectral
+        return self.discriminator.apply(variables, x), spectral
+
+    def _train_step(self, state: CycleGANTrainState, a_u8, b_u8):
+        cfg = self.config
+        loss_cfg = cfg.get("loss") or {}
+        lam_cyc = float(loss_cfg.get("lambda_cycle", 10.0))
+        lam_id = float(loss_cfg.get("lambda_identity", 0.5))
+        crop = int(cfg["data"].get("img_size", 256))
+
+        keys = step_keys(state.base_key, state.step, ("aug_a", "aug_b"))
+        real_A = cyclegan_augment(keys["aug_a"], a_u8, crop)
+        real_B = cyclegan_augment(keys["aug_b"], b_u8, crop)
+
+        # ---- G joint update (train.py:72-97) ----
+        def g_loss_fn(g_params):
+            fake_B = self._apply_g(g_params["G_A2B"], real_A)
+            rec_A = self._apply_g(g_params["G_B2A"], fake_B)
+            fake_A = self._apply_g(g_params["G_B2A"], real_B)
+            rec_B = self._apply_g(g_params["G_A2B"], fake_A)
+            idt_B = self._apply_g(g_params["G_A2B"], real_B)
+            idt_A = self._apply_g(g_params["G_B2A"], real_A)
+
+            pred_B, _ = self._apply_d(state.db_params, state.db_spectral, fake_B)
+            pred_A, _ = self._apply_d(state.da_params, state.da_spectral, fake_A)
+            loss_adv = gan_loss(pred_B, True, self.gan_mode) + gan_loss(
+                pred_A, True, self.gan_mode
+            )
+            loss_cyc = cycle_loss(rec_A, real_A, lam_cyc) + cycle_loss(
+                rec_B, real_B, lam_cyc
+            )
+            loss_id = lam_id * (
+                identity_loss(idt_A, real_A) + identity_loss(idt_B, real_B)
+            )
+            total = loss_adv + loss_cyc + loss_id
+            return total, (fake_A, fake_B)
+
+        (loss_G, (fake_A, fake_B)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_upd, opt_g = self.opt_g.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_upd)
+
+        fake_A = jax.lax.stop_gradient(fake_A)
+        fake_B = jax.lax.stop_gradient(fake_B)
+
+        # ---- D_A / D_B updates (train.py:99-116), batched real+fake ----
+        def d_loss_fn(params, spectral, real, fake):
+            both = jnp.concatenate([real, fake], axis=0)
+            preds, new_spec = self._apply_d(params, spectral, both, update_sn=True)
+            nb = real.shape[0]
+            loss = 0.5 * (
+                gan_loss(preds[:nb], True, self.gan_mode)
+                + gan_loss(preds[nb:], False, self.gan_mode)
+            )
+            return loss, new_spec
+
+        (loss_D_A, da_spec), da_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.da_params, state.da_spectral, real_A, fake_A
+        )
+        da_upd, opt_da = self.opt_da.update(da_grads, state.opt_da, state.da_params)
+        da_params = optax.apply_updates(state.da_params, da_upd)
+
+        (loss_D_B, db_spec), db_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.db_params, state.db_spectral, real_B, fake_B
+        )
+        db_upd, opt_db = self.opt_db.update(db_grads, state.opt_db, state.db_params)
+        db_params = optax.apply_updates(state.db_params, db_upd)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            da_params=da_params,
+            db_params=db_params,
+            da_spectral=da_spec,
+            db_spectral=db_spec,
+            opt_g=opt_g,
+            opt_da=opt_da,
+            opt_db=opt_db,
+        )
+        losses = {"G": loss_G, "D_A": loss_D_A, "D_B": loss_D_B}
+        return new_state, losses
+
+    def checkpoint_payload(self, state: CycleGANTrainState) -> dict:
+        """Reference checkpoint dict schema (train.py:126-137)."""
+        return {
+            "G_A2B": state.g_params["G_A2B"],
+            "G_B2A": state.g_params["G_B2A"],
+            "D_A": state.da_params,
+            "D_B": state.db_params,
+            "da_spectral": state.da_spectral,
+            "db_spectral": state.db_spectral,
+            "optim_G": state.opt_g,
+            "optim_D_A": state.opt_da,
+            "optim_D_B": state.opt_db,
+            "base_key": jax.random.key_data(state.base_key),
+        }
+
+    def state_from_payload(self, payload: dict, step: int) -> CycleGANTrainState:
+        import flax.serialization as ser
+
+        template = self.init_state()
+        like = lambda t, d: ser.from_state_dict(t, d)
+        restored = template.replace(
+            step=jnp.asarray(step, jnp.int32),
+            g_params={
+                "G_A2B": like(template.g_params["G_A2B"], payload["G_A2B"]),
+                "G_B2A": like(template.g_params["G_B2A"], payload["G_B2A"]),
+            },
+            da_params=like(template.da_params, payload["D_A"]),
+            db_params=like(template.db_params, payload["D_B"]),
+            da_spectral=like(template.da_spectral, payload.get("da_spectral", {})),
+            db_spectral=like(template.db_spectral, payload.get("db_spectral", {})),
+            opt_g=like(template.opt_g, payload["optim_G"]),
+            opt_da=like(template.opt_da, payload["optim_D_A"]),
+            opt_db=like(template.opt_db, payload["optim_D_B"]),
+            base_key=jax.random.wrap_key_data(jnp.asarray(payload["base_key"])),
+        )
+        return jax.device_put(restored, self.mesh.replicated())

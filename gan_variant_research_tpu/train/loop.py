@@ -1,0 +1,163 @@
+"""CUT training loop — behavior of train_cutpp.main() (train_cutpp.py:340-498).
+
+Flow: config → seed → dirs → tracker → loaders → trainer → (resume) →
+step loop with per-step CSV logging, per-N-step averaged JSON lines,
+periodic checkpoints, a fail-fast NaN tripwire, final checkpoint + loss
+plot. TPU-specific behavior:
+
+- loss scalars are fetched with a one-step delay so the host never blocks
+  the device pipeline (the reference calls .item() every step, forcing a
+  sync, train_cutpp.py:315-329);
+- ``--resume auto`` scans the checkpoint dir for the newest checkpoint
+  (preemptible-VM recovery, SURVEY.md §5 "Failure detection");
+- the JSON log line gains images/sec and step-time fields.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from gan_variant_research_tpu.data.loader import UnpairedLoader
+from gan_variant_research_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+from gan_variant_research_tpu.train.loss_tracker import Averager, LossTracker
+from gan_variant_research_tpu.train.plotting import plot_training_losses
+
+
+def _check_finite(step: int, losses: dict):
+    bad = {k: v for k, v in losses.items()
+           if k != "identity_weight" and not np.isfinite(v)}
+    if bad:
+        raise ValueError(
+            f"NaN loss detected at step {step}: {losses}. "
+            "Training stopped to prevent corruption."
+        )
+
+
+def train_cut(config: dict, resume: str | None = None, max_steps_override: int | None = None):
+    """Run CUT training; returns (final state, trainer)."""
+    out_cfg = config["output"]
+    ckpt_dir = Path(out_cfg["checkpoint_dir"])
+    log_dir = Path(out_cfg["log_dir"])
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    log_dir.mkdir(parents=True, exist_ok=True)
+
+    tracker = LossTracker(log_dir).start()
+    averager = Averager()
+
+    io_cfg = config.get("io") or {}
+    loader = UnpairedLoader(
+        config["data"]["photos_dir"],
+        config["data"]["monet_dir"],
+        batch_size=config["batch_size"],
+        size=config["image_size"],
+        seed=config.get("seed", 42),
+        num_workers=io_cfg.get("num_workers", config.get("num_workers", 8)),
+        prefetch=config.get("prefetch_factor", 4),
+    )
+    print(f"Photos: {loader.num_photos}, Monet: {loader.num_monets}")
+
+    trainer = CUTTrainer(config)
+    n_g = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
+        trainer.generator.init(jax.random.key(0),
+                               np.zeros((1, config['image_size'], config['image_size'], 3),
+                                        np.float32))["params"]))
+    print(f"Generator parameters: {int(n_g):,}")
+
+    state = trainer.init_state()
+
+    start_step = 0
+    if resume:
+        path = latest_checkpoint(ckpt_dir) if resume == "auto" else resume
+        if resume == "auto" and path is None:
+            print("No checkpoint found for auto-resume; starting fresh")
+        elif path is not None:
+            blob = load_checkpoint(path)
+            state = trainer.state_from_payload(blob["payload"], blob["step"])
+            start_step = blob["step"]
+            print(f"Resumed from step {start_step} ({path})")
+
+    max_steps = max_steps_override or config.get("max_steps")
+    if not max_steps:
+        # reference derives steps from the photos loader alone
+        # (train_cutpp.py:400-402)
+        steps_per_epoch = loader.num_photos // config["batch_size"]
+        max_steps = config.get("epochs", 70) * steps_per_epoch
+    print(f"Training for {max_steps} steps")
+
+    log_every = (config.get("log") or {}).get("every_steps", config.get("log_every", 100))
+    ckpt_every = (config.get("metrics") or {}).get(
+        "save_checkpoint_every", (config.get("checkpoint") or {}).get("every_steps", 2000)
+    )
+    keep_last_n = (config.get("checkpoint") or {}).get("keep_last_n", 5)
+
+    pending: list[tuple[int, dict]] = []  # one-step-delayed loss fetch
+    step = start_step
+    t_window = time.perf_counter()
+    imgs_in_window = 0
+
+    def drain(entry):
+        s, device_losses = entry
+        host = {k: float(v) for k, v in device_losses.items()}
+        _check_finite(s, host)
+        tracker.log(s, host["d_loss"], host["g_loss"])
+        averager.add(host)
+
+    try:
+        while step < max_steps:
+            photos_u8, monets_u8 = next(loader)
+            state, losses = trainer.train_step(state, photos_u8, monets_u8)
+            pending.append((step, losses))
+            imgs_in_window += config["batch_size"]
+            if len(pending) > 1:
+                drain(pending.pop(0))
+
+            if step % log_every == 0 and step > 0:
+                avg = averager.averages()
+                dt = time.perf_counter() - t_window
+                if dt > 0:
+                    avg["images_per_sec"] = imgs_in_window / dt
+                    avg["step_time_ms"] = 1000.0 * dt / max(1, log_every)
+                tracker.log_json_line(step, avg)
+                if (config.get("log") or {}).get("verbose", True):
+                    print(f"Step {step}: " + " | ".join(
+                        f"{k}: {v:.4f}" for k, v in avg.items()))
+                averager.clear()
+                t_window = time.perf_counter()
+                imgs_in_window = 0
+
+            if step % ckpt_every == 0 and step > 0:
+                path = ckpt_dir / f"ckpt_step{step}.msgpack"
+                save_checkpoint(
+                    path, int(state.step), trainer.checkpoint_payload(state),
+                    config=config, keep_last_n=keep_last_n,
+                )
+                print(f"\nSaved checkpoint to {path}")
+
+            step += 1
+
+        while pending:
+            drain(pending.pop(0))
+
+        final = ckpt_dir / "ckpt_final.msgpack"
+        save_checkpoint(final, int(state.step), trainer.checkpoint_payload(state),
+                        config=config)
+        print(f"\nTraining complete. Final checkpoint: {final}")
+    finally:
+        tracker.close()
+        loader.close()
+
+    history = tracker.load_history()
+    if history["steps"]:
+        plot_training_losses(
+            log_dir, history["steps"], history["d_losses"], history["g_losses"]
+        )
+    return state, trainer

@@ -1,0 +1,92 @@
+"""Feature extraction + real-stats caching.
+
+Equivalent of EVAL/eval/features.py:17-259 with the cache ACTUALLY WIRED:
+the reference ships a working npz cache layer that its CLI never imports —
+fake features are extracted twice per run and ``--no-cache`` is a no-op
+(SURVEY.md §2.6 item 5). Here features are extracted once per set, and real
+stats (μ, Σ, features, n) are cached as compressed npz keyed by the SHA1
+dataset hash."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from gan_variant_research_tpu.evalsuite.datasets import iter_batches
+from gan_variant_research_tpu.evalsuite.frechet import gaussian_stats
+from gan_variant_research_tpu.evalsuite.inception import InceptionFID
+
+
+class InceptionFeatureExtractor:
+    """Batched jitted pool3 feature extraction over an image-path list."""
+
+    def __init__(self, weights_path: str | Path | None = None,
+                 allow_random: bool = False, batch_size: int = 64,
+                 img_size: int = 299, num_workers: int = 8):
+        self.net = InceptionFID(weights_path, allow_random=allow_random)
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.num_workers = num_workers
+
+    def extract(self, paths: list[Path], desc: str = "images",
+                verbose: bool = True) -> np.ndarray:
+        feats = []
+        done = 0
+        for batch, n_valid in iter_batches(
+            paths, self.batch_size, self.img_size, self.num_workers
+        ):
+            f = self.net.features_u8(batch)[:n_valid]
+            feats.append(f)
+            done += n_valid
+            if verbose:
+                print(f"\r{desc}: {done}/{len(paths)}", end="", flush=True)
+        if verbose:
+            print()
+        return np.concatenate(feats, axis=0)
+
+
+def cache_path_for(cache_dir: str | Path, dataset_hash: str) -> Path:
+    return Path(cache_dir) / "real_stats" / f"{dataset_hash}.npz"
+
+
+def save_cached_stats(path: Path, mu, sigma, features, n: int):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, mu=mu, sigma=sigma, features=features, n=n)
+
+
+def load_cached_stats(path: Path):
+    if not path.exists():
+        return None
+    data = np.load(path)
+    return {
+        "mu": data["mu"],
+        "sigma": data["sigma"],
+        "features": data["features"],
+        "n": int(data["n"]),
+    }
+
+
+def compute_or_load_real_stats(
+    extractor: InceptionFeatureExtractor,
+    real_paths: list[Path],
+    dataset_hash: str,
+    cache_dir: str | Path,
+    use_cache: bool = True,
+    verbose: bool = True,
+):
+    """Cached (μ, Σ, features, n) for the real set (features.py:141-259)."""
+    path = cache_path_for(cache_dir, dataset_hash)
+    if use_cache:
+        cached = load_cached_stats(path)
+        if cached is not None and cached["n"] == len(real_paths):
+            if verbose:
+                print(f"Loaded cached real stats: {path}")
+            return cached
+    feats = extractor.extract(real_paths, desc="Real images", verbose=verbose)
+    mu, sigma = gaussian_stats(feats)
+    if use_cache:
+        save_cached_stats(path, mu, sigma, feats, len(real_paths))
+        if verbose:
+            print(f"Cached real stats: {path}")
+    return {"mu": mu, "sigma": sigma, "features": feats, "n": len(real_paths)}

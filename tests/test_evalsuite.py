@@ -1,0 +1,285 @@
+"""Eval suite tests: Fréchet math vs scipy ground truth + analytic
+Gaussians, MiFID semantics, Inception architecture/converter, utils
+contracts, and the full CLI pipeline against the golden report schema."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gan_variant_research_tpu.evalsuite.frechet import (
+    frechet_distance,
+    gaussian_stats,
+    memorization_penalty,
+    mifid_from_features,
+)
+
+
+class TestFrechet:
+    def test_identical_distributions_zero(self, rng):
+        mu = rng.standard_normal(16)
+        a = rng.standard_normal((32, 16))
+        sigma = np.cov(a, rowvar=False)
+        assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+
+    def test_mean_shift_analytic(self, rng):
+        d = 8
+        sigma = np.eye(d)
+        mu1 = np.zeros(d)
+        mu2 = np.full(d, 0.5)
+        # FID = |mu1-mu2|^2 when covariances equal
+        assert frechet_distance(mu1, sigma, mu2, sigma) == pytest.approx(
+            d * 0.25, abs=1e-8
+        )
+
+    def test_scaled_identity_analytic(self):
+        d = 8
+        got = frechet_distance(np.zeros(d), 4.0 * np.eye(d), np.zeros(d), np.eye(d))
+        # tr(aI + bI - 2 sqrt(ab) I) = d(a + b - 2√(ab)) = d(4+1-4) = d
+        assert got == pytest.approx(d, abs=1e-8)
+
+    def test_matches_scipy_sqrtm(self, rng):
+        from scipy import linalg
+
+        d = 24
+        a = rng.standard_normal((100, d))
+        b = rng.standard_normal((100, d)) * 1.5 + 0.3
+        mu1, s1 = gaussian_stats(a)
+        mu2, s2 = gaussian_stats(b)
+        got = frechet_distance(mu1, s1, mu2, s2)
+        covmean = linalg.sqrtm(s1 @ s2)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        want = float((mu1 - mu2) @ (mu1 - mu2) + np.trace(s1 + s2 - 2 * covmean))
+        assert got == pytest.approx(want, rel=1e-6)
+
+
+class TestMiFID:
+    def test_memorized_fakes_get_penalized(self, rng):
+        real = rng.standard_normal((64, 32))
+        fresh = rng.standard_normal((64, 32))
+        copied = real + 1e-4 * rng.standard_normal((64, 32))  # near-duplicates
+        m_fresh = memorization_penalty(fresh, real, cosine_eps=0.1)
+        m_copied = memorization_penalty(copied, real, cosine_eps=0.1)
+        assert m_fresh == 1.0      # above eps → no penalty
+        assert m_copied < 0.01     # heavy memorization
+        r_fresh = mifid_from_features(real, fresh)
+        r_copied = mifid_from_features(real, copied)
+        # same-ish FID scale, but MiFID explodes for the memorizer
+        assert r_copied["mifid"] > 100 * r_copied["fid"]
+        assert r_fresh["mifid"] == pytest.approx(r_fresh["fid"], rel=1e-6)
+
+    def test_abs_cosine_used(self, rng):
+        real = rng.standard_normal((16, 8))
+        anti = -real  # cosine −1 → abs-distance 0 (torchmetrics semantics)
+        assert memorization_penalty(anti, real) < 1e-6
+
+
+class TestInception:
+    @pytest.fixture(scope="class")
+    def net(self):
+        from gan_variant_research_tpu.evalsuite.inception import InceptionFID
+
+        return InceptionFID(None, allow_random=True)
+
+    def test_output_is_2048d(self, net, rng):
+        u8 = rng.integers(0, 256, (2, 299, 299, 3), dtype=np.uint8)
+        feats = net.features_u8(u8)
+        assert feats.shape == (2, 2048)
+        assert np.isfinite(feats).all()
+
+    def test_requires_weights_unless_allowed(self):
+        from gan_variant_research_tpu.evalsuite.inception import InceptionFID
+
+        with pytest.raises(ValueError, match="canonical FID weights"):
+            InceptionFID(None)
+
+    def test_torch_state_dict_conversion_roundtrip(self, net, tmp_path):
+        """Build a torch-style state dict from the param tree (the naming
+        bijection), convert it, and check the tree matches exactly."""
+        import torch
+
+        from gan_variant_research_tpu.evalsuite.inception import (
+            _convert_torch_state_dict,
+            load_torch_inception_weights,
+            save_converted_weights,
+        )
+
+        sd = {}
+
+        def walk(node, path):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, path + [k])
+                else:
+                    prefix = ".".join(path)
+                    arr = np.asarray(v)
+                    if k == "conv_kernel":
+                        sd[f"{prefix}.conv.weight"] = torch.from_numpy(
+                            arr.transpose(3, 2, 0, 1).copy()
+                        )
+                    else:
+                        leaf = {"bn_scale": "weight", "bn_bias": "bias",
+                                "bn_mean": "running_mean", "bn_var": "running_var"}[k]
+                        sd[f"{prefix}.bn.{leaf}"] = torch.from_numpy(arr.copy())
+
+        walk(net.params, [])
+        sd["fc.weight"] = torch.zeros(1008, 2048)  # classifier head is skipped
+
+        converted = _convert_torch_state_dict(sd)
+
+        def compare(a, b, path=""):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                if isinstance(a[k], dict):
+                    compare(a[k], b[k], path + "/" + k)
+                else:
+                    np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+        compare(net.params, converted)
+
+        # npz round trip
+        save_converted_weights(converted, tmp_path / "w.npz")
+        reloaded = load_torch_inception_weights(tmp_path / "w.npz")
+        compare(converted, reloaded)
+
+    def test_pth_load_path(self, net, tmp_path):
+        import torch
+
+        from gan_variant_research_tpu.evalsuite.inception import InceptionFID
+
+        sd = {}
+
+        def walk(node, path):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, path + [k])
+                else:
+                    prefix = ".".join(path)
+                    arr = np.asarray(v)
+                    if k == "conv_kernel":
+                        sd[f"{prefix}.conv.weight"] = torch.from_numpy(
+                            arr.transpose(3, 2, 0, 1).copy())
+                    else:
+                        leaf = {"bn_scale": "weight", "bn_bias": "bias",
+                                "bn_mean": "running_mean", "bn_var": "running_var"}[k]
+                        sd[f"{prefix}.bn.{leaf}"] = torch.from_numpy(arr.copy())
+
+        walk(net.params, [])
+        torch.save(sd, tmp_path / "pt_inception.pth")
+        net2 = InceptionFID(tmp_path / "pt_inception.pth")
+        assert not net2.randomly_initialized
+
+
+class TestUtils:
+    def test_hash_stability_and_sensitivity(self, tmp_path):
+        from gan_variant_research_tpu.evalsuite.utils import compute_image_list_hash
+
+        a = tmp_path / "a.jpg"
+        b = tmp_path / "b.jpg"
+        a.write_bytes(b"xx")
+        b.write_bytes(b"yyy")
+        h1 = compute_image_list_hash([a, b], tmp_path)
+        h2 = compute_image_list_hash([b, a], tmp_path)  # order-insensitive
+        assert h1 == h2
+        a.write_bytes(b"xxxx")  # size change → different hash
+        assert compute_image_list_hash([a, b], tmp_path) != h1
+
+    def test_validation_warnings(self, tmp_path):
+        from gan_variant_research_tpu.evalsuite.utils import validate_image_counts
+
+        fakes = []
+        reals = []
+        for i in range(3):
+            p = tmp_path / f"f{i}.jpg"
+            p.write_bytes(b"x")
+            fakes.append(p)
+            q = tmp_path / f"r{i}.png"
+            q.write_bytes(b"y")
+            reals.append(q)
+        v = validate_image_counts(fakes, reals)
+        assert v["num_fake"] == 3 and v["num_real"] == 3
+        assert any("below expected range" in w for w in v["warnings"])
+        assert any("below expected minimum" in w for w in v["warnings"])
+        with pytest.raises(ValueError):
+            validate_image_counts([], reals)
+
+    def test_overlap_check(self, tmp_path):
+        from gan_variant_research_tpu.evalsuite.utils import check_dataset_overlap
+
+        o = check_dataset_overlap([Path("x/1.jpg")], [Path("y/1.jpg")])
+        assert o["has_overlap"] and o["overlap_count"] == 1
+
+
+def _make_image_folder(folder: Path, n: int, seed: int, size=32):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    folder.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i in range(n):
+        img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        p = folder / f"{i:03d}.jpg"
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+class TestPipeline:
+    def test_full_cli_pipeline_schema(self, tmp_path, monkeypatch):
+        """End-to-end run with random Inception weights on synthetic folders;
+        validates the report against the golden sample_report.json schema."""
+        from gan_variant_research_tpu.evalsuite.cli import run_evaluation
+
+        _make_image_folder(tmp_path / "fake", 10, 0)
+        _make_image_folder(tmp_path / "real", 6, 1)
+        cfg = {
+            "name": "pipeline_test",
+            "fake_dir": str(tmp_path / "fake"),
+            "real_dir": str(tmp_path / "real"),
+            "real_mode": "folder",
+            "out_dir": str(tmp_path / "reports"),
+            "cache_dir": str(tmp_path / "cache"),
+            "batch_size": 4,
+            "num_workers": 2,
+            "img_size": 96,  # smallest fast-on-CPU size ≥ Inception's 75 min
+            "cosine_eps": 0.1,
+            "use_cache": True,
+            "inception_weights": None,
+        }
+        report = run_evaluation(cfg, allow_random_weights=True)
+
+        # golden schema (EVAL/cache/reports/sample_report.json)
+        assert set(report) >= {"run", "scores", "hashes", "notes",
+                               "memorization_analysis"}
+        run = report["run"]
+        for key in ["name", "timestamp_utc", "fake_dir", "real_mode",
+                    "real_dir_or_tfds", "num_fake", "num_real", "img_size",
+                    "batch_size", "num_workers", "warnings"]:
+            assert key in run, key
+        scores = report["scores"]
+        assert set(scores) == {"mifid", "fid", "cosine_min_distance"}
+        cos = scores["cosine_min_distance"]
+        for key in ["median", "mean", "std", "p10", "p90",
+                    "hist_bins", "hist_counts"]:
+            assert key in cos, key
+        assert len(cos["hist_bins"]) == 11 and len(cos["hist_counts"]) == 10
+        for key in ["fake_list_sha1", "real_list_sha1", "real_cache_key"]:
+            assert key in report["hashes"]
+        worst = report["memorization_analysis"]["worst_cases"]
+        assert len(worst) == 10  # top-16 capped by n_fake
+        assert set(worst[0]) == {"fake_path", "distance",
+                                 "nearest_real_path", "cosine_similarity"}
+        assert np.isfinite(scores["fid"])
+
+        # artifacts on disk: JSON report + text summary + CSV
+        assert list((tmp_path / "reports").glob("*_report.json"))
+        assert list((tmp_path / "reports").glob("*_worst_cases.csv"))
+        assert list((tmp_path / "cache" / "logs").glob("*.txt"))
+        # the real-stats cache was written and is keyed by the dataset hash
+        assert list((tmp_path / "cache" / "real_stats").glob("*.npz"))
+
+        # second run hits the cache (and changes nothing)
+        report2 = run_evaluation(cfg, allow_random_weights=True)
+        assert report2["scores"]["fid"] == report["scores"]["fid"]

@@ -29,7 +29,7 @@ def main():
     from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
 
     n_chips = len(jax.devices())
-    batch = 16 * n_chips if jax.default_backend() != "cpu" else 4
+    batch = 32 * n_chips if jax.default_backend() != "cpu" else 4
     cfg = _flagship_config(image_size=256, batch_size=batch)
     if jax.default_backend() == "cpu":
         # CPU smoke fallback so the bench never hard-fails off-TPU
@@ -43,22 +43,35 @@ def main():
     photos = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
     monets = rng.integers(0, 256, (batch, 256, 256, 3), dtype=np.uint8)
 
-    # warmup (compile both R1 branches: steps 0 and 1); NOTE: on the axon
-    # tunnel block_until_ready does not reliably wait, so completion is
-    # forced by fetching a scalar value
-    for _ in range(3):
-        state, losses = trainer.train_step(state, photos, monets)
-    float(losses["g_loss"])
+    # compile all step variants, then warm up; NOTE: on the axon tunnel
+    # block_until_ready does not reliably wait, so completion is forced by
+    # fetching a scalar value
+    trainer.warm_compile(state, photos, monets)
 
-    n_steps = 20 if jax.default_backend() != "cpu" else 3
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, losses = trainer.train_step(state, photos, monets)
-    float(losses["g_loss"])  # forces execution of the whole chain
-    dt = time.perf_counter() - t0
+    def window(start_step: int, n: int) -> float:
+        """Seconds/step over n steps starting at start_step (includes the
+        R1 cadence naturally: start at a multiple of r1.every)."""
+        nonlocal state
+        s, losses = state, None
+        for k in range(2):  # warm the pipeline
+            s, losses = trainer.train_step(s, photos, monets, step=start_step + k)
+        float(losses["g_loss"])
+        t0 = time.perf_counter()
+        for k in range(n):
+            s, losses = trainer.train_step(s, photos, monets, step=start_step + k)
+        float(losses["g_loss"])  # forces execution of the whole chain
+        state = s
+        return (time.perf_counter() - t0) / n
 
-    images_per_sec = n_steps * batch / dt
-    per_chip = images_per_sec / n_chips
+    n_steps = 16 if jax.default_backend() != "cpu" else 2
+    # identity warmup phase (first warmup_steps of a run) vs steady state;
+    # blend by their share of the reference's 60k-step training run
+    t_warm = window(0, n_steps)
+    t_steady = window(cfg["warmup_steps"] + 16, n_steps)
+    warm_frac = min(1.0, cfg["warmup_steps"] / 60000.0)
+    dt = warm_frac * t_warm + (1.0 - warm_frac) * t_steady
+
+    per_chip = batch / dt / n_chips
     print(json.dumps({
         "metric": "images/sec/chip (CUT 256x256 train)",
         "value": round(per_chip, 2),

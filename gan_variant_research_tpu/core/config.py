@@ -199,6 +199,7 @@ CUT_SCHEMA: dict = {
             "channel_attn_layers": list,
             "use_style_dropout": bool,
             "style_dropout": dict,
+            "remat": bool,
         },
         "discriminator": {
             "base": str,
@@ -240,6 +241,7 @@ CUT_SCHEMA: dict = {
         "precision": str,         # "bf16" | "fp32"
         "donate": bool,
         "d_real_domain": str,     # "photo" (reference-literal) | "monet" (CUT-correct)
+        "identity_fp32": bool,
         "profile_dir": str,
     },
     "parallel": {

@@ -44,17 +44,15 @@ def _rgb_to_hsv(rgb):
 
 
 def _hsv_to_rgb(hsv):
+    # branch-free formulation (jnp.choose lowers to gathers, which cost
+    # ~60 ms/step on TPU at B=16, 256²; this is pure VPU arithmetic)
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+
+    def channel(n):
+        k = (n + h * 6.0) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
 
 
 def _luma(x01):
@@ -101,40 +99,58 @@ def color_jitter(
     return x01
 
 
-def _crop_resize_one(img, scale, off_frac_i, off_frac_j, out_size: int):
-    """One antialiased cubic crop+resize: crop side = scale·min(H,W) at a
-    random offset, resampled to out_size² in a single pass."""
-    h, w = img.shape[0], img.shape[1]
-    crop = scale * jnp.minimum(h, w).astype(jnp.float32)
-    off_i = off_frac_i * (h - crop)
-    off_j = off_frac_j * (w - crop)
-    zoom = out_size / crop
-    scales = jnp.stack([zoom, zoom])
-    translation = jnp.stack([-off_i * zoom, -off_j * zoom])
-    return jax.image.scale_and_translate(
-        img,
-        (out_size, out_size, img.shape[2]),
-        spatial_dims=(0, 1),
-        scale=scales,
-        translation=translation,
-        method="cubic",
-        antialias=True,
-    )
+def _cubic_kernel(t):
+    """Keys cubic, a = −0.5 (PIL bicubic / jax.image 'cubic')."""
+    a = -0.5
+    at = jnp.abs(t)
+    at2 = at * at
+    at3 = at2 * at
+    w1 = (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0
+    w2 = a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def _resample_weights(src, n_in: int, aa_scale):
+    """Row-normalized antialiased cubic weights, dense (B, S_out, n_in).
+
+    The dense-matrix formulation turns per-sample crop+resize into two
+    batched matmuls on the MXU — ~30× faster on TPU than
+    vmap(jax.image.scale_and_translate), whose per-sample gather path
+    dominated the train step (measured 138 ms vs ~4 ms at B=16, 256²).
+    """
+    i = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
+    aa = aa_scale[:, None, None]
+    t = (src[:, :, None] - i) / aa
+    w = _cubic_kernel(t) / aa
+    return w / jnp.sum(w, axis=-1, keepdims=True)
 
 
 def random_crop_resize(
     key, x01, out_size: int, scale_range: tuple[float, float] = (0.85, 1.0)
 ):
-    b = x01.shape[0]
+    """Per-sample crop (side = s·min(H,W), s∈scale_range, continuous offset)
+    + antialiased bicubic resize to out_size², as two batched einsums."""
+    b, h, w, c = x01.shape
     ks, ki, kj = jax.random.split(key, 3)
     scales = jax.random.uniform(
         ks, (b,), minval=scale_range[0], maxval=scale_range[1]
     )
-    off_i = jax.random.uniform(ki, (b,))
-    off_j = jax.random.uniform(kj, (b,))
-    return jax.vmap(partial(_crop_resize_one, out_size=out_size))(
-        x01, scales, off_i, off_j
-    )
+    crop = scales * float(min(h, w))
+    off_i = jax.random.uniform(ki, (b,)) * (h - crop)
+    off_j = jax.random.uniform(kj, (b,)) * (w - crop)
+
+    o = (jnp.arange(out_size, dtype=jnp.float32) + 0.5)[None, :]
+    ratio = (crop / out_size)[:, None]
+    src_i = off_i[:, None] + o * ratio - 0.5
+    src_j = off_j[:, None] + o * ratio - 0.5
+    aa = jnp.maximum(crop / out_size, 1.0)  # antialias on downscale only
+
+    w_rows = _resample_weights(src_i, h, aa)  # (B, S, H)
+    w_cols = _resample_weights(src_j, w, aa)  # (B, S, W)
+    y = jnp.einsum("boh,bhwc->bowc", w_rows, x01,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("bow,bswc->bsoc", w_cols, y,
+                      preferred_element_type=jnp.float32)
 
 
 def random_hflip(key, x):

@@ -110,6 +110,11 @@ class ResNetGenerator(nn.Module):
     use_style_dropout: bool = False
     alpha_min: float = 0.4
     alpha_max: float = 0.9
+    # jax.checkpoint the residual trunk: recompute activations in the
+    # backward pass instead of keeping 9 blocks of 64×64×4·ngf live —
+    # trades ~15% FLOPs for roughly half the activation HBM, enabling
+    # larger batches (the HBM-bandwidth lever from the build brief)
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -162,8 +167,9 @@ class ResNetGenerator(nn.Module):
 
         # Residual trunk (ref :129-138)
         res_channels = self.ngf * 2 ** self.n_downsampling
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         for i in range(self.n_blocks):
-            h = ResidualBlock(
+            h = block_cls(
                 res_channels,
                 padding_type=self.padding_type,
                 norm=self.norm,

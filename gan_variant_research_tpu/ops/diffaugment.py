@@ -45,25 +45,23 @@ def rand_translation(key, x, ratio: float = 0.125):
     shift ∈ [−s, s] with s = int(H·ratio + 0.5), drawn independently for H
     and W per batch element (diffaugment.py:26-31).
     """
-    b, h, w, _ = x.shape
+    b, h, w, c = x.shape
     sh = int(h * ratio + 0.5)
     sw = int(w * ratio + 0.5)
     kx, ky = jax.random.split(key)
-    tx = jax.random.randint(kx, (b, 1, 1), -sh, sh + 1)
-    ty = jax.random.randint(ky, (b, 1, 1), -sw, sw + 1)
+    tx = jax.random.randint(kx, (b,), -sh, sh + 1)
+    ty = jax.random.randint(ky, (b,), -sw, sw + 1)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    # reference: clamp(grid + t + 1, 0, size+1) indexes a zero-padded image;
-    # indices at the pad (0 or size+1) read zeros ⇒ zero fill
-    src_r = rows + tx
-    src_c = cols + ty
-    valid = (src_r >= 0) & (src_r < h) & (src_c >= 0) & (src_c < w)
-    src_r = jnp.clip(src_r, 0, h - 1)
-    src_c = jnp.clip(src_c, 0, w - 1)
+    # reference semantics (pad-1 + clamped gather) == translation with zero
+    # fill; implemented as zero-pad by the max shift + per-sample
+    # dynamic_slice — a contiguous slice instead of a full gather (the
+    # gather formulation cost ~40 ms/call at B=16, 256² on TPU)
+    x_pad = jnp.pad(x, ((0, 0), (sh, sh), (sw, sw), (0, 0)))
 
-    gathered = jax.vmap(lambda img, r, c: img[r, c])(x, src_r, src_c)
-    return jnp.where(valid[..., None], gathered, jnp.zeros((), dtype=x.dtype))
+    def shift_one(img, dx, dy):
+        return jax.lax.dynamic_slice(img, (sh + dx, sw + dy, 0), (h, w, c))
+
+    return jax.vmap(shift_one)(x_pad, tx, ty)
 
 
 def _cutout_mask(key, x, ratio: float):

@@ -21,14 +21,26 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     Matches torch.nn.InstanceNorm2d defaults (affine=False, biased var,
     eps=1e-5), used throughout the reference generator
     (GAN_Variant1/models/generator_resnet_attn.py:56,114) in NCHW.
-    Statistics are computed in fp32 for bf16 stability.
+
+    Statistics accumulate in fp32 (reduce-with-convert fuses on TPU — no
+    fp32 copy of the activation is materialized); the normalization itself
+    runs in the input dtype with broadcast fp32 stats. Profiling showed the
+    earlier cast-everything-to-fp32 formulation materialized fp32 copies of
+    the 256² stem activations and cost ~1/3 of the whole CUT train step.
     """
-    orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return out.astype(orig_dtype)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(
+        jax.lax.square(x.astype(jnp.float32)),
+        axis=(1, 2), keepdims=True, dtype=jnp.float32,
+    )
+    # E[x²]−E[x]² in fp64-free fp32: with O(1) activations over ≥4k spatial
+    # positions the cancellation error is ~1e-6 relative — immaterial here,
+    # and both reductions fuse over a single read of x
+    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    scale = inv.astype(x.dtype)
+    offset = (mean * inv).astype(x.dtype)
+    return x * scale - offset
 
 
 def reflect_pad_2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:

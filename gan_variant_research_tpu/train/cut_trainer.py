@@ -84,6 +84,7 @@ def build_generator(gen_cfg: dict, policy: Policy) -> ResNetGenerator:
         use_style_dropout=gen_cfg.get("use_style_dropout", False),
         alpha_min=sd.get("alpha_min", 0.4),
         alpha_max=sd.get("alpha_max", 0.9),
+        remat=gen_cfg.get("remat", False),
         dtype=policy.compute_dtype,
         param_dtype=policy.param_dtype,
     )
@@ -135,6 +136,12 @@ class CUTTrainer:
         )
 
         runtime = config.get("runtime") or {}
+        # The reference forces the identity loss through fp32
+        # (losses/identity_l1.py:18) as an fp16-underflow guard under CUDA
+        # AMP. bf16 has the fp32 exponent range, so the guard is unnecessary
+        # on TPU; default bf16, set runtime.identity_fp32=true for strict
+        # reference numerics.
+        self.identity_fp32 = bool(runtime.get("identity_fp32", False))
         self.d_real_domain = runtime.get("d_real_domain", "monet")
         if self.d_real_domain not in ("photo", "monet"):
             raise ValueError(f"runtime.d_real_domain must be photo|monet, got {self.d_real_domain}")
@@ -147,8 +154,15 @@ class CUTTrainer:
         donate = bool(runtime.get("donate", False))
         rep = self.mesh.replicated()
         batch_sh = self.mesh.batch_sharding(4)
-        self.train_step = jax.jit(
+        # do_r1 / do_identity are STATIC: the host decides them from the step
+        # counter exactly like the reference's Python-side branches
+        # (train_cutpp.py:226,257,292). Keeping them as lax.cond would make
+        # XLA execute BOTH branches every step under grad (measured: the
+        # fp32 identity pass and the R1 double-backward ran unconditionally,
+        # ~2× step time).
+        self._jit_step = jax.jit(
             self._train_step,
+            static_argnums=(3, 4),
             donate_argnums=(0,) if donate else (),
             in_shardings=(rep, batch_sh, batch_sh),
             out_shardings=(rep, rep),
@@ -200,7 +214,42 @@ class CUTTrainer:
 
     # ------------------------------------------------------------------ #
 
-    def _train_step(self, state: CUTTrainState, photos_u8, monets_u8):
+    def identity_weight_at(self, step: int) -> float:
+        """Host-side identity warmup weight (train_cutpp.py:224-228)."""
+        lw = self.config["loss_weights"]
+        warm = float(lw.get("identity_warm", 0.1))
+        final = float(lw.get("identity_final", 0.0))
+        warmup = int(self.config.get("warmup_steps", 20000))
+        frac = min(step / warmup, 1.0) if warmup > 0 else 1.0
+        return warm + (final - warm) * frac
+
+    def step_flags(self, step: int) -> tuple[bool, bool]:
+        """(do_r1, do_identity) for a given step index."""
+        r1_cfg = self.config.get("r1") or {}
+        do_r1 = float(r1_cfg.get("gamma", 0.0)) > 0 and (
+            step % int(r1_cfg.get("every", 16)) == 0
+        )
+        do_identity = self.identity_weight_at(step) > 0
+        return do_r1, do_identity
+
+    def train_step(self, state: CUTTrainState, photos_u8, monets_u8,
+                   step: int | None = None):
+        """One training step. Pass the host-side ``step`` counter to avoid a
+        device sync (falls back to fetching state.step)."""
+        if step is None:
+            step = int(state.step)
+        do_r1, do_identity = self.step_flags(step)
+        return self._jit_step(state, photos_u8, monets_u8, do_r1, do_identity)
+
+    def warm_compile(self, state, photos_u8, monets_u8):
+        """Pre-compile every step variant (results discarded; requires
+        donation off, the default)."""
+        for do_r1 in (False, True):
+            for do_identity in (False, True):
+                self._jit_step(state, photos_u8, monets_u8, do_r1, do_identity)
+
+    def _train_step(self, state: CUTTrainState, photos_u8, monets_u8,
+                    do_r1: bool = True, do_identity: bool = True):
         cfg = self.config
         lw = cfg["loss_weights"]
         adv_w = float(lw.get("adv", 1.0))
@@ -242,10 +291,28 @@ class CUTTrainer:
                 return x
             return diff_augment(key, x, da_policy)
 
+        # One generator forward serves the whole step: the D-phase fake (the
+        # reference's G fwd #1, detached), the G-phase adversarial fake
+        # (G fwd #2 — identical value, G unchanged in between), the src NCE
+        # features (G fwd #3, detached) and the tgt NCE features (G fwd #4,
+        # trunk on the fake) — gradient-equivalent to train_cutpp.py:206-308
+        # (SURVEY.md §3.1), via an explicit vjp closed over later.
+        if nce_w > 0:
+            def big_fwd(p):
+                fake, src = self.generator.apply(
+                    {"params": p}, photos, extract=nce_layers
+                )
+                _, tgt = self.generator.apply({"params": p}, fake, extract=nce_layers)
+                return fake, src, tgt
+        else:
+            def big_fwd(p):
+                fake = self.generator.apply({"params": p}, photos)
+                return fake, [], []
+
+        (fake, src_feats, tgt_feats), g_vjp = jax.vjp(big_fwd, state.g_params)
+        fake_for_d = jax.lax.stop_gradient(fake)
+
         # ---------------- D update ----------------
-        fake_for_d = jax.lax.stop_gradient(
-            self.generator.apply({"params": state.g_params}, photos)
-        )
         real_aug = maybe_aug(keys["da_real"], real_images)
         fake_aug = maybe_aug(keys["da_fake"], fake_for_d)
         b = real_aug.shape[0]
@@ -265,78 +332,77 @@ class CUTTrainer:
         d_updates, opt_d_state = self.opt_d.update(d_grads, state.opt_d, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        # ---------------- lazy R1 (second D step) ----------------
-        if r1_gamma > 0:
+        # ---------------- lazy R1 (second D step, static branch) ----------
+        if do_r1:
             real_f32 = real_images.astype(jnp.float32)
 
-            def r1_branch(operand):
-                d_p, opt_s = operand
+            def r1_loss_fn(p):
+                def d_sum(imgs):
+                    preds, _ = self._apply_d(
+                        p, d_spectral, imgs, update_sn=False, fp32=True
+                    )
+                    return sum(jnp.sum(x.astype(jnp.float32)) for x in preds)
 
-                def r1_loss_fn(p):
-                    def d_sum(imgs):
-                        preds, _ = self._apply_d(
-                            p, d_spectral, imgs, update_sn=False, fp32=True
-                        )
-                        return sum(jnp.sum(x.astype(jnp.float32)) for x in preds)
+                g_img = jax.grad(d_sum)(real_f32)
+                r1 = jnp.mean(jnp.sum(jnp.square(g_img), axis=(1, 2, 3)))
+                return r1 * r1_gamma * r1_every, r1
 
-                    g_img = jax.grad(d_sum)(real_f32)
-                    r1 = jnp.mean(jnp.sum(jnp.square(g_img), axis=(1, 2, 3)))
-                    return r1 * r1_gamma * r1_every, r1
-
-                (_, r1), grads = jax.value_and_grad(r1_loss_fn, has_aux=True)(d_p)
-                upd, opt_s = self.opt_d.update(grads, opt_s, d_p)
-                return optax.apply_updates(d_p, upd), opt_s, r1
-
-            def no_r1(operand):
-                d_p, opt_s = operand
-                return d_p, opt_s, jnp.zeros((), jnp.float32)
-
-            d_params, opt_d_state, r1_value = jax.lax.cond(
-                step % r1_every == 0, r1_branch, no_r1, (d_params, opt_d_state)
+            (_, r1_value), r1_grads = jax.value_and_grad(r1_loss_fn, has_aux=True)(
+                d_params
             )
+            r1_upd, opt_d_state = self.opt_d.update(r1_grads, opt_d_state, d_params)
+            d_params = optax.apply_updates(d_params, r1_upd)
         else:
             r1_value = jnp.zeros((), jnp.float32)
 
         # ---------------- G update (against the updated D) ----------------
-        def g_loss_fn(g_params):
-            fake, src_feats = self.generator.apply(
-                {"params": g_params}, photos, extract=nce_layers
-            )
-            fake_aug_g = maybe_aug(keys["da_g"], fake)
+        # differentiable head: losses as a function of (fake, tgt_feats);
+        # src features enter as constants (the reference detaches them)
+        def head_fn(fake_h, tgt_h):
+            fake_aug_g = maybe_aug(keys["da_g"], fake_h)
             preds, _ = self._apply_d(d_params, d_spectral, fake_aug_g, update_sn=False)
             g_adv = generator_hinge_loss(preds)
-
             if nce_w > 0:
-                _, tgt_feats = self.generator.apply(
-                    {"params": g_params}, fake, extract=nce_layers
-                )
                 nce = patch_nce_loss(
                     keys["nce"],
                     [jax.lax.stop_gradient(f) for f in src_feats],
-                    tgt_feats,
+                    tgt_h,
                     temperature=temperature,
                     num_patches=num_patches,
                 )
             else:
                 nce = jnp.zeros((), jnp.float32)
+            return adv_w * g_adv + nce_w * nce, (g_adv, nce)
 
-            # fp32-island identity loss, skipped entirely after warmup
-            def idt_fn(_):
-                rec = self.generator_f32.apply(
-                    {"params": g_params}, monets.astype(jnp.float32)
+        (head_loss, (g_adv, nce)), head_grads = jax.value_and_grad(
+            head_fn, argnums=(0, 1), has_aux=True
+        )(fake, tgt_feats)
+        zeros_src = [jnp.zeros_like(s) for s in src_feats]
+        (g_grads,) = g_vjp((head_grads[0].astype(fake.dtype), zeros_src,
+                            [t.astype(f.dtype) for t, f in
+                             zip(head_grads[1], tgt_feats)]))
+
+        # identity loss (static branch: compiled out of the post-warmup step
+        # variants entirely); fp32 island optional — see __init__
+        if do_identity:
+            idt_gen = self.generator_f32 if self.identity_fp32 else self.generator
+
+            def idt_loss_fn(p):
+                rec = idt_gen.apply(
+                    {"params": p},
+                    monets.astype(jnp.float32 if self.identity_fp32
+                                  else self.policy.compute_dtype),
                 )
                 return identity_loss(rec, monets)
 
-            idt = jax.lax.cond(
-                identity_weight > 0, idt_fn, lambda _: jnp.zeros((), jnp.float32), None
+            idt, idt_grads = jax.value_and_grad(idt_loss_fn)(state.g_params)
+            g_grads = jax.tree_util.tree_map(
+                lambda g, ig: g + identity_weight * ig, g_grads, idt_grads
             )
+        else:
+            idt = jnp.zeros((), jnp.float32)
 
-            g_loss = adv_w * g_adv + nce_w * nce + identity_weight * idt
-            return g_loss, (g_adv, nce, idt)
-
-        (g_loss, (g_adv, nce, idt)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        g_loss = head_loss + identity_weight * idt
         g_updates, opt_g_state = self.opt_g.update(g_grads, state.opt_g, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

@@ -114,7 +114,7 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     try:
         while step < max_steps:
             photos_u8, monets_u8 = next(loader)
-            state, losses = trainer.train_step(state, photos_u8, monets_u8)
+            state, losses = trainer.train_step(state, photos_u8, monets_u8, step=step)
             pending.append((step, losses))
             imgs_in_window += config["batch_size"]
             if len(pending) > 1:

@@ -64,10 +64,13 @@ def main():
         return (time.perf_counter() - t0) / n
 
     n_steps = 16 if jax.default_backend() != "cpu" else 2
+    reps = 3 if jax.default_backend() != "cpu" else 1
     # identity warmup phase (first warmup_steps of a run) vs steady state;
-    # blend by their share of the reference's 60k-step training run
-    t_warm = window(0, n_steps)
-    t_steady = window(cfg["warmup_steps"] + 16, n_steps)
+    # blend by their share of the reference's 60k-step training run.
+    # best-of-N windows: the shared tunnel shows 1.5x run-to-run contention
+    # variance; min estimates uncontended capability
+    t_warm = min(window(0, n_steps) for _ in range(reps))
+    t_steady = min(window(cfg["warmup_steps"] + 16, n_steps) for _ in range(reps))
     warm_frac = min(1.0, cfg["warmup_steps"] / 60000.0)
     dt = warm_frac * t_warm + (1.0 - warm_frac) * t_steady
 

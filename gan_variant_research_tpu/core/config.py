@@ -242,6 +242,7 @@ CUT_SCHEMA: dict = {
         "donate": bool,
         "d_real_domain": str,     # "photo" (reference-literal) | "monet" (CUT-correct)
         "identity_fp32": bool,
+        "steps_per_call": int,    # lax.scan window size (1 = plain stepping)
         "profile_dir": str,
     },
     "parallel": {

@@ -167,6 +167,23 @@ class CUTTrainer:
             in_shardings=(rep, batch_sh, batch_sh),
             out_shardings=(rep, rep),
         )
+        # Multi-step window: lax.scan over K bare steps entirely on device —
+        # one dispatch per window amortizes the host/tunnel dispatch latency
+        # (~30 ms/step measured non-overlapped on the axon tunnel). R1 steps
+        # run via the single-step path so the double-backward stays a static
+        # branch.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        window_sh = NamedSharding(
+            self.mesh.mesh, P(None, self.mesh.data_axis, None, None, None)
+        )
+        self._jit_scan = jax.jit(
+            self._train_scan,
+            static_argnums=(3,),
+            donate_argnums=(0,) if donate else (),
+            in_shardings=(rep, window_sh, window_sh),
+            out_shardings=(rep, rep),
+        )
 
     # ------------------------------------------------------------------ #
 
@@ -240,6 +257,51 @@ class CUTTrainer:
             step = int(state.step)
         do_r1, do_identity = self.step_flags(step)
         return self._jit_step(state, photos_u8, monets_u8, do_r1, do_identity)
+
+    def _train_scan(self, state, photos_w, monets_w, do_identity: bool):
+        """Scan K bare (no-R1) steps over stacked (K, B, H, W, C) batches."""
+
+        def body(st, batch):
+            p, m = batch
+            return self._train_step(st, p, m, False, do_identity)
+
+        return jax.lax.scan(body, state, (photos_w, monets_w))
+
+    def train_window(self, state, photos_w, monets_w, start_step: int):
+        """Run K = photos_w.shape[0] consecutive steps with a minimal number
+        of dispatches: single-step calls exactly on R1 steps, on-device scans
+        over the bare stretches in between (segments also split at the
+        identity warmup boundary). Exactly equivalent to K train_step calls.
+        Returns (state, stacked losses with leading dim K)."""
+        k = photos_w.shape[0]
+        losses_list = []
+        idx = 0
+        while idx < k:
+            step = start_step + idx
+            do_r1, do_identity = self.step_flags(step)
+            if do_r1:
+                state, l = self.train_step(
+                    state, photos_w[idx], monets_w[idx], step=step
+                )
+                losses_list.append(jax.tree_util.tree_map(lambda x: x[None], l))
+                idx += 1
+                continue
+            end = idx + 1
+            while end < k:
+                r1_e, id_e = self.step_flags(start_step + end)
+                if r1_e or id_e != do_identity:
+                    break
+                end += 1
+            state, ls = self._jit_scan(
+                state, photos_w[idx:end], monets_w[idx:end], do_identity
+            )
+            losses_list.append(ls)
+            idx = end
+        if len(losses_list) == 1:
+            return state, losses_list[0]
+        return state, jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *losses_list
+        )
 
     def warm_compile(self, state, photos_u8, monets_u8):
         """Pre-compile every step variant (results discarded; requires

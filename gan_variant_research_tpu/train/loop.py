@@ -103,6 +103,9 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     step = start_step
     t_window = time.perf_counter()
     imgs_in_window = 0
+    # >1 → lax.scan K steps per dispatch (amortizes host/tunnel dispatch
+    # latency; exactly equivalent to K single steps)
+    steps_per_call = int((config.get("runtime") or {}).get("steps_per_call", 1))
 
     def drain(entry):
         s, device_losses = entry
@@ -111,38 +114,53 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
         tracker.log(s, host["d_loss"], host["g_loss"])
         averager.add(host)
 
+    def per_step_bookkeeping(s: int):
+        nonlocal t_window, imgs_in_window
+        if s % log_every == 0 and s > 0:
+            avg = averager.averages()
+            dt = time.perf_counter() - t_window
+            if dt > 0:
+                avg["images_per_sec"] = imgs_in_window / dt
+                avg["step_time_ms"] = 1000.0 * dt / max(1, log_every)
+            tracker.log_json_line(s, avg)
+            if (config.get("log") or {}).get("verbose", True):
+                print(f"Step {s}: " + " | ".join(
+                    f"{k}: {v:.4f}" for k, v in avg.items()))
+            averager.clear()
+            t_window = time.perf_counter()
+            imgs_in_window = 0
+        if s % ckpt_every == 0 and s > 0:
+            path = ckpt_dir / f"ckpt_step{s}.msgpack"
+            save_checkpoint(
+                path, int(state.step), trainer.checkpoint_payload(state),
+                config=config, keep_last_n=keep_last_n,
+            )
+            print(f"\nSaved checkpoint to {path}")
+
     try:
         while step < max_steps:
-            photos_u8, monets_u8 = next(loader)
-            state, losses = trainer.train_step(state, photos_u8, monets_u8, step=step)
-            pending.append((step, losses))
-            imgs_in_window += config["batch_size"]
-            if len(pending) > 1:
+            k = min(steps_per_call, max_steps - step)
+            if k > 1:
+                stacked = [next(loader) for _ in range(k)]
+                photos_w = np.stack([b[0] for b in stacked])
+                monets_w = np.stack([b[1] for b in stacked])
+                state, losses_w = trainer.train_window(state, photos_w, monets_w, step)
+                for i in range(k):
+                    pending.append(
+                        (step + i,
+                         jax.tree_util.tree_map(lambda x, i=i: x[i], losses_w))
+                    )
+            else:
+                photos_u8, monets_u8 = next(loader)
+                state, losses = trainer.train_step(state, photos_u8, monets_u8,
+                                                   step=step)
+                pending.append((step, losses))
+            imgs_in_window += config["batch_size"] * k
+            while len(pending) > 1:
                 drain(pending.pop(0))
-
-            if step % log_every == 0 and step > 0:
-                avg = averager.averages()
-                dt = time.perf_counter() - t_window
-                if dt > 0:
-                    avg["images_per_sec"] = imgs_in_window / dt
-                    avg["step_time_ms"] = 1000.0 * dt / max(1, log_every)
-                tracker.log_json_line(step, avg)
-                if (config.get("log") or {}).get("verbose", True):
-                    print(f"Step {step}: " + " | ".join(
-                        f"{k}: {v:.4f}" for k, v in avg.items()))
-                averager.clear()
-                t_window = time.perf_counter()
-                imgs_in_window = 0
-
-            if step % ckpt_every == 0 and step > 0:
-                path = ckpt_dir / f"ckpt_step{step}.msgpack"
-                save_checkpoint(
-                    path, int(state.step), trainer.checkpoint_payload(state),
-                    config=config, keep_last_n=keep_last_n,
-                )
-                print(f"\nSaved checkpoint to {path}")
-
-            step += 1
+            for i in range(k):
+                per_step_bookkeeping(step + i)
+            step += k
 
         while pending:
             drain(pending.pop(0))

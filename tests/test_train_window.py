@@ -1,0 +1,42 @@
+"""train_window (scan multi-step) must reproduce the single-step trajectory
+exactly, including R1 steps and the identity warmup boundary."""
+
+import numpy as np
+import pytest
+import jax
+
+from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+from test_cut_trainer import tiny_config, batches
+
+
+def test_window_matches_single_steps(rng):
+    cfg = tiny_config()
+    cfg["warmup_steps"] = 5  # identity flips off inside the window
+    cfg["r1"]["every"] = 3
+    t1 = CUTTrainer(cfg)
+    t2 = CUTTrainer(cfg)
+    s1 = t1.init_state()
+    s2 = t2.init_state()
+
+    k = 8
+    ps = np.stack([batches(rng)[0] for _ in range(k)])
+    rng2 = np.random.default_rng(1)
+    ms = np.stack([batches(rng2)[1] for _ in range(k)])
+
+    singles = []
+    for i in range(k):
+        s1, l = t1.train_step(s1, ps[i], ms[i], step=i)
+        singles.append({kk: float(vv) for kk, vv in l.items()})
+
+    s2, stacked = t2.train_window(s2, ps, ms, start_step=0)
+    assert int(s2.step) == k
+    for i in range(k):
+        for kk in singles[i]:
+            got = float(np.asarray(stacked[kk])[i])
+            assert got == pytest.approx(singles[i][kk], rel=1e-5, abs=1e-6), (i, kk)
+
+    # final params equal up to cross-compilation reduction reassociation
+    # (the scan and the single-step jit are different XLA programs)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

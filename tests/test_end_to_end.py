@@ -1,0 +1,122 @@
+"""End-to-end integration: synthetic image folders → CUT training CLI →
+checkpoint artifacts → generate_folder CLI → JPEG outputs + submission zip.
+Exercises the loaders, the loop (logging/checkpointing contracts), resume,
+and the EMA-first inference restore — the reference's manual QUICKSTART
+checklist as an automated test (SURVEY.md §4)."""
+
+import json
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _folder(root: Path, name: str, n: int, seed: int, size: int = 40):
+    rng = np.random.default_rng(seed)
+    d = root / name
+    d.mkdir(parents=True)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        ).save(d / f"{i:03d}.jpg", quality=90)
+    return d
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    _folder(root, "photos", 12, 0)
+    _folder(root, "monets", 8, 1)
+    return root
+
+
+def micro_config(root: Path) -> dict:
+    return {
+        "image_size": 32,
+        "batch_size": 4,
+        "max_steps": 5,
+        "seed": 7,
+        "warmup_steps": 3,
+        "data": {"photos_dir": str(root / "photos"), "monet_dir": str(root / "monets")},
+        "output": {
+            "checkpoint_dir": str(root / "ckpts"),
+            "log_dir": str(root / "logs"),
+        },
+        "optim": {"G": {"lr": 2e-4, "betas": [0.5, 0.999]},
+                  "D": {"lr": 2e-4, "betas": [0.5, 0.999]}},
+        "loss_weights": {"adv": 1.0, "patchnce": 1.0,
+                         "identity_warm": 0.1, "identity_final": 0.0},
+        "model": {
+            "generator": {"ngf": 4, "n_blocks": 2},
+            "discriminator": {"ndf": 4, "n_layers": 2, "num_scales": 1},
+        },
+        "patchnce": {"num_patches": 8, "temperature": 0.07,
+                     "nce_layers": [0, 4, 8, 12, 16]},
+        "diffaugment": {"enable": True, "policy": ["color", "translation", "cutout"]},
+        "r1": {"gamma": 10.0, "every": 4},
+        "ema": {"decay": 0.999},
+        "metrics": {"save_checkpoint_every": 3},
+        "checkpoint": {"keep_last_n": 2},
+        "log": {"every_steps": 2, "verbose": False},
+        "io": {"num_workers": 2},
+        "runtime": {"precision": "fp32"},
+        "parallel": {"num_devices": 1},
+    }
+
+
+def test_train_checkpoint_resume_generate(workspace):
+    from gan_variant_research_tpu.train.loop import train_cut
+    from gan_variant_research_tpu.cli.generate_folder import (
+        load_generator_params,
+        stylize_folder,
+    )
+
+    cfg = micro_config(workspace)
+    state, trainer = train_cut(cfg)
+    assert int(state.step) == 5
+
+    # logging contracts: per-step CSV + JSON lines
+    csv = (workspace / "logs" / "losses_history.csv").read_text().strip().splitlines()
+    assert csv[0] == "step,d_loss,g_loss"
+    assert len(csv) == 6  # header + 5 steps
+    log_lines = (workspace / "logs" / "train_log.txt").read_text().strip().splitlines()
+    assert log_lines and log_lines[0].startswith("Step 2: {")
+    json.loads(log_lines[0].split(": ", 1)[1])  # valid JSON payload
+    assert (workspace / "logs" / "training_losses.png").exists()
+
+    # checkpoint artifacts: step ckpt + final
+    assert (workspace / "ckpts" / "ckpt_step3.msgpack").exists()
+    final = workspace / "ckpts" / "ckpt_final.msgpack"
+    assert final.exists()
+
+    # auto-resume continues from the final checkpoint
+    cfg2 = micro_config(workspace)
+    cfg2["max_steps"] = 7
+    state2, _ = train_cut(cfg2, resume="auto")
+    assert int(state2.step) == 7
+
+    # generate_folder: EMA-first restore + mirrored JPEG tree + zip
+    generator, params, stored_cfg = load_generator_params(final, use_ema=True)
+    assert stored_cfg["image_size"] == 32
+    out_dir = workspace / "generated"
+    zip_path = workspace / "images.zip"
+    written = stylize_folder(
+        generator, params, workspace / "photos", out_dir,
+        size=32, batch=4, limit=6, quality=95, zip_path=str(zip_path),
+    )
+    assert len(written) == 6
+    img = Image.open(written[0])
+    assert img.size == (32, 32)
+    with zipfile.ZipFile(zip_path) as zf:
+        assert len(zf.namelist()) == 6
+        assert "0.jpg" in zf.namelist()
+
+
+def test_generate_without_ema_warns_when_missing(workspace, capsys):
+    from gan_variant_research_tpu.cli.generate_folder import load_generator_params
+
+    final = workspace / "ckpts" / "ckpt_final.msgpack"
+    generator, params, _ = load_generator_params(final, use_ema=False)
+    assert params is not None

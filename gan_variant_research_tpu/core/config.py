@@ -200,6 +200,7 @@ CUT_SCHEMA: dict = {
             "use_style_dropout": bool,
             "style_dropout": dict,
             "remat": bool,
+            "use_pallas": bool,
         },
         "discriminator": {
             "base": str,

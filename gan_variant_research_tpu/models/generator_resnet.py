@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from gan_variant_research_tpu.models.layers import (
@@ -53,40 +54,87 @@ def _norm(x, kind: str):
 
 class ResidualBlock(nn.Module):
     """pad→conv3×3→norm→act→pad→conv3×3→norm, residual add
-    (generator_resnet_attn.py:7-71)."""
+    (generator_resnet_attn.py:7-71).
+
+    With ``use_pallas=True`` and baseline flags (reflect/instance/relu,
+    biased convs, lane-aligned channels, VMEM-sized plane) the whole block
+    runs through the fused Pallas pad+conv kernels (ops/pallas/resblock.py);
+    otherwise a plain XLA path with identical semantics."""
 
     channels: int
     padding_type: str = "reflect"
     norm: str = "instance"
     activation: str = "relu"
     use_bias: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        act = activation_fn(self.activation)
-        zero_pad = 1 if self.padding_type == "zero" else 0
-        conv = lambda name: Conv2d(
-            self.channels,
-            kernel_size=3,
-            padding=zero_pad,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name=name,
+        from gan_variant_research_tpu.models.layers import _pair
+        from gan_variant_research_tpu.ops.nn_ops import (
+            torch_conv_bias_init,
+            torch_conv_kernel_init,
         )
-        h = x
-        if zero_pad == 0:
-            h = pad_2d(h, 1, self.padding_type)
-        h = conv("conv1")(h)
+
+        c = self.channels
+        kshape = (3, 3, x.shape[-1], c)
+        fan_in = 9 * x.shape[-1]
+        k1 = self.param("conv1_kernel", torch_conv_kernel_init, kshape,
+                        self.param_dtype)
+        k2 = self.param("conv2_kernel", torch_conv_kernel_init, kshape,
+                        self.param_dtype)
+        if self.use_bias:
+            b1 = self.param("conv1_bias", torch_conv_bias_init(fan_in), (c,),
+                            self.param_dtype)
+            b2 = self.param("conv2_bias", torch_conv_bias_init(fan_in), (c,),
+                            self.param_dtype)
+        else:
+            b1 = b2 = jnp.zeros((c,), self.param_dtype)
+
+        if self._pallas_eligible(x):
+            from gan_variant_research_tpu.ops.pallas.resblock import fused_resblock
+
+            return fused_resblock(x.astype(self.dtype), k1, b1, k2, b2)
+
+        act = activation_fn(self.activation)
+        zero_pad = self.padding_type == "zero"
+
+        def conv(h, kernel, bias):
+            if not zero_pad:
+                h = pad_2d(h, 1, self.padding_type)
+            pad = ((1, 1), (1, 1)) if zero_pad else ((0, 0), (0, 0))
+            y = jax.lax.conv_general_dilated(
+                h, kernel.astype(self.dtype), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                y = y + bias.astype(self.dtype)
+            return y
+
+        h = conv(x, k1, b1)
         h = _norm(h, self.norm)
         h = act(h)
-        if zero_pad == 0:
-            h = pad_2d(h, 1, self.padding_type)
-        h = conv("conv2")(h)
+        h = conv(h, k2, b2)
         h = _norm(h, self.norm)
         return x + h
+
+    def _pallas_eligible(self, x) -> bool:
+        if not self.use_pallas:
+            return False
+        if (self.padding_type != "reflect" or self.norm != "instance"
+                or self.activation != "relu" or not self.use_bias):
+            return False
+        if x.shape[-1] != self.channels:
+            return False
+        import jax as _jax
+
+        from gan_variant_research_tpu.ops.pallas.resblock import resblock_supported
+
+        if _jax.default_backend() == "cpu":
+            return False  # interpreter mode is for tests only
+        return resblock_supported(x.shape, self.channels)
 
 
 class ResNetGenerator(nn.Module):
@@ -115,6 +163,9 @@ class ResNetGenerator(nn.Module):
     # trades ~15% FLOPs for roughly half the activation HBM, enabling
     # larger batches (the HBM-bandwidth lever from the build brief)
     remat: bool = False
+    # route eligible residual blocks through the fused Pallas pad+conv
+    # kernels (ops/pallas/resblock.py)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -175,6 +226,7 @@ class ResNetGenerator(nn.Module):
                 norm=self.norm,
                 activation=self.activation,
                 use_bias=self.use_bias,
+                use_pallas=self.use_pallas,
                 name=f"res_{i}",
                 **kw,
             )(h)

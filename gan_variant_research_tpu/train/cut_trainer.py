@@ -85,6 +85,7 @@ def build_generator(gen_cfg: dict, policy: Policy) -> ResNetGenerator:
         alpha_min=sd.get("alpha_min", 0.4),
         alpha_max=sd.get("alpha_max", 0.9),
         remat=gen_cfg.get("remat", False),
+        use_pallas=gen_cfg.get("use_pallas", False),
         dtype=policy.compute_dtype,
         param_dtype=policy.param_dtype,
     )

@@ -105,7 +105,12 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     imgs_in_window = 0
     # >1 → lax.scan K steps per dispatch (amortizes host/tunnel dispatch
     # latency; exactly equivalent to K single steps)
-    steps_per_call = int((config.get("runtime") or {}).get("steps_per_call", 1))
+    runtime_cfg = config.get("runtime") or {}
+    steps_per_call = int(runtime_cfg.get("steps_per_call", 1))
+    # capture a jax.profiler trace of steps [10, 20) when configured
+    profile_dir = runtime_cfg.get("profile_dir")
+    profile_span = (start_step + 10, start_step + 20)
+    profiling = False
 
     def drain(entry):
         s, device_losses = entry
@@ -139,6 +144,9 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
 
     try:
         while step < max_steps:
+            if profile_dir and not profiling and step >= profile_span[0]:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             k = min(steps_per_call, max_steps - step)
             if k > 1:
                 stacked = [next(loader) for _ in range(k)]
@@ -161,6 +169,11 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             for i in range(k):
                 per_step_bookkeeping(step + i)
             step += k
+            if profiling and step >= profile_span[1]:
+                jax.profiler.stop_trace()
+                print(f"Saved profiler trace to {profile_dir}")
+                profile_dir = None  # capture once
+                profiling = False
 
         while pending:
             drain(pending.pop(0))
@@ -170,6 +183,8 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
                         config=config)
         print(f"\nTraining complete. Final checkpoint: {final}")
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         tracker.close()
         loader.close()
 

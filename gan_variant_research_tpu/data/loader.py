@@ -23,7 +23,19 @@ from gan_variant_research_tpu.data.folders import list_images
 
 
 def load_image_u8(path: str | Path, size: int | None = None) -> np.ndarray:
-    """Decode to RGB uint8 HWC; optionally bicubic-resize to size²."""
+    """Decode to RGB uint8 HWC; optionally bicubic-resize to size².
+
+    JPEGs go through the native libjpeg decoder (GIL-free, no PIL object
+    overhead — gan_variant_research_tpu/data/native); anything it can't
+    handle falls back to PIL."""
+    from gan_variant_research_tpu.data.native_loader import decode_jpeg
+
+    arr = decode_jpeg(path)
+    if arr is not None:
+        if size is not None and arr.shape[:2] != (size, size):
+            im = Image.fromarray(arr).resize((size, size), Image.BICUBIC)
+            arr = np.asarray(im, dtype=np.uint8)
+        return arr
     with Image.open(path) as im:
         im = im.convert("RGB")
         if size is not None and im.size != (size, size):

@@ -64,7 +64,7 @@ def main():
         return (time.perf_counter() - t0) / n
 
     n_steps = 16 if jax.default_backend() != "cpu" else 2
-    reps = 3 if jax.default_backend() != "cpu" else 1
+    reps = 4 if jax.default_backend() != "cpu" else 1
     # identity warmup phase (first warmup_steps of a run) vs steady state;
     # blend by their share of the reference's 60k-step training run.
     # best-of-N windows: the shared tunnel shows 1.5x run-to-run contention

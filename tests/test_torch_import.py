@@ -1,0 +1,140 @@
+"""Torch-checkpoint importer: converted reference generator weights must
+reproduce the torch forward bit-for-bit-ish (VERDICT round-1, missing #4).
+
+``TorchRefGenerator`` below is a minimal torch mirror of the reference's
+ResNetGenerator module layout (GAN_Variant1/models/generator_resnet_attn.py:
+74-162) — its ``state_dict()`` has exactly the reference's key space
+(``initial.1.weight``, ``res_blocks.i.conv_block.1/5.*``, ``upsample.0.*``…),
+so the converter path tested here is the one a real reference ``.pt`` takes.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gan_variant_research_tpu.cli.import_torch_checkpoint import (  # noqa: E402
+    convert_generator_state_dict,
+    generator_config_from_params,
+    import_torch_checkpoint,
+)
+from gan_variant_research_tpu.core.precision import Policy  # noqa: E402
+from gan_variant_research_tpu.train.cut_trainer import build_generator  # noqa: E402
+
+
+def _res_block(ch):
+    return nn.Sequential(
+        nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3), nn.InstanceNorm2d(ch),
+        nn.ReLU(True),
+        nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3), nn.InstanceNorm2d(ch),
+    )
+
+
+class _Block(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.conv_block = _res_block(ch)
+
+    def forward(self, x):
+        return x + self.conv_block(x)
+
+
+class TorchRefGenerator(nn.Module):
+    """Reference module layout (reflect padding, instance norm, biased convs)."""
+
+    def __init__(self, ngf=8, n_blocks=2, n_down=2):
+        super().__init__()
+        self.initial = nn.Sequential(
+            nn.ReflectionPad2d(3), nn.Conv2d(3, ngf, 7),
+            nn.InstanceNorm2d(ngf), nn.ReLU(True),
+        )
+        down = []
+        for i in range(n_down):
+            m = 2 ** i
+            down += [nn.Conv2d(ngf * m, ngf * m * 2, 3, stride=2, padding=1),
+                     nn.InstanceNorm2d(ngf * m * 2), nn.ReLU(True)]
+        self.downsample = nn.Sequential(*down)
+        ch = ngf * 2 ** n_down
+        self.res_blocks = nn.ModuleList([_Block(ch) for _ in range(n_blocks)])
+        up = []
+        for i in range(n_down):
+            m = 2 ** (n_down - i)
+            up += [nn.ConvTranspose2d(ngf * m, ngf * m // 2, 3, stride=2,
+                                      padding=1, output_padding=1),
+                   nn.InstanceNorm2d(ngf * m // 2), nn.ReLU(True)]
+        self.upsample = nn.Sequential(*up)
+        self.output = nn.Sequential(
+            nn.ReflectionPad2d(3), nn.Conv2d(ngf, 3, 7), nn.Tanh(),
+        )
+
+    def forward(self, x):
+        x = self.initial(x)
+        x = self.downsample(x)
+        for b in self.res_blocks:
+            x = b(x)
+        x = self.upsample(x)
+        return self.output(x)
+
+
+@pytest.fixture(scope="module")
+def torch_gen():
+    torch.manual_seed(0)
+    return TorchRefGenerator().eval()
+
+
+def test_forward_parity_through_converter(torch_gen, rng):
+    params = convert_generator_state_dict(torch_gen.state_dict())
+    gen_cfg = generator_config_from_params(params)
+    assert gen_cfg == {"ngf": 8, "n_blocks": 2, "n_downsampling": 2,
+                       "padding_type": "reflect", "use_bias": True}
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        y_t = torch_gen(torch.from_numpy(x).permute(0, 3, 1, 2))
+    y_t = y_t.permute(0, 2, 3, 1).numpy()
+
+    generator = build_generator(gen_cfg, Policy(compute_dtype=jnp.float32))
+    y_j = np.asarray(generator.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-5, rtol=1e-4)
+
+
+def test_full_checkpoint_import_and_generate(torch_gen, tmp_path, rng):
+    """Full flow: reference-schema .pt → msgpack → generate_folder loader,
+    EMA-first."""
+    gen_sd = torch_gen.state_dict()
+    # EMA shadow with perturbed values so EMA-first selection is observable
+    shadow = {k: v + 0.01 for k, v in gen_sd.items()}
+    pt = tmp_path / "ckpt_step100.pt"
+    torch.save({
+        "step": 100,
+        "generator": gen_sd,
+        "discriminator": {},
+        "opt_G": {}, "opt_D": {},
+        "ema_G": {"decay": 0.999, "shadow": shadow},
+        "metrics": {"d_loss": 0.5},
+        "config": {"model": {"name": "cutpp"}},
+    }, pt)
+
+    out = tmp_path / "ckpt_step100.msgpack"
+    import_torch_checkpoint(pt, out)
+
+    from gan_variant_research_tpu.cli.generate_folder import load_generator_params
+
+    generator, params, config = load_generator_params(str(out), use_ema=True)
+    exp = convert_generator_state_dict(shadow)
+    np.testing.assert_allclose(
+        params["initial_conv"]["kernel"], exp["initial_conv"]["kernel"])
+    # raw (non-EMA) selection returns the unperturbed weights
+    _, raw, _ = load_generator_params(str(out), use_ema=False)
+    exp_raw = convert_generator_state_dict(gen_sd)
+    np.testing.assert_allclose(
+        raw["initial_conv"]["kernel"], exp_raw["initial_conv"]["kernel"])
+    # reconstructed generator runs on the imported params
+    y = generator.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                        jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert y.shape == (1, 32, 32, 3)
+    assert bool(np.isfinite(np.asarray(y)).all())

@@ -29,8 +29,10 @@ def parse_args(argv=None):
                         help="Path to config file")
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint to resume from, or 'auto' for latest")
-    parser.add_argument("--set", nargs="+", default=[], dest="overrides",
-                        help="Override config values (e.g. loss_weights.adv=0.5)")
+    parser.add_argument("--set", nargs="+", action="append", default=[],
+                        dest="overrides",
+                        help="Override config values; repeatable "
+                             "(e.g. --set loss_weights.adv=0.5 model.generator.ngf=32)")
     parser.add_argument("--strict-config", action="store_true",
                         help="Error (not warn) on unknown config keys")
     return parser.parse_args(argv)
@@ -39,7 +41,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     config = load_config(args.config)
-    config = override_config(config, args.overrides)
+    overrides = [kv for group in args.overrides for kv in group]
+    config = override_config(config, overrides)
     validate_config(config, CUT_SCHEMA, strict=args.strict_config)
     import jax
 

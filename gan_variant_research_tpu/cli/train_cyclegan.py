@@ -23,11 +23,12 @@ DEFAULT_CONFIG = Path(__file__).parent.parent / "configs" / "baseline.yaml"
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train CycleGAN baseline (TPU-native)")
     parser.add_argument("--config", type=str, default=str(DEFAULT_CONFIG))
-    parser.add_argument("--set", nargs="+", default=[], dest="overrides")
+    parser.add_argument("--set", nargs="+", action="append", default=[],
+                        dest="overrides")
     parser.add_argument("--strict-config", action="store_true")
     args = parser.parse_args(argv)
     config = load_config(args.config)
-    config = override_config(config, args.overrides)
+    config = override_config(config, [kv for g in args.overrides for kv in g])
     validate_config(config, CYCLEGAN_SCHEMA, strict=args.strict_config)
     train_cyclegan(config)
 

@@ -102,7 +102,14 @@ class UnpairedLoader:
         seed: int = 42,
         num_workers: int = 8,
         prefetch: int = 4,
+        device_sharding=None,
     ):
+        # With ``device_sharding`` (a jax.sharding.Sharding) the producer
+        # thread stages each batch on device ahead of the step, so the H2D
+        # copy overlaps decode/compute instead of serializing inside the jit
+        # dispatch — measured 240 ms vs 785-2200 ms/step at batch 32×256² on
+        # the tunneled v5e when the step had to pull numpy args itself.
+        self.device_sharding = device_sharding
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.photos = _EpochStream(
             ImageFolderSource(photos_dir, size), batch_size, seed, self.pool
@@ -126,6 +133,10 @@ class UnpairedLoader:
     def _produce(self):
         while not self._stop.is_set():
             batch = (self.photos.next_batch(), self.monets.next_batch())
+            if self.device_sharding is not None:
+                import jax
+
+                batch = jax.device_put(batch, self.device_sharding)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)

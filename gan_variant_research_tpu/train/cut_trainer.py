@@ -111,6 +111,9 @@ class CUTTrainer:
     """Owns the models, optimizers, mesh and the compiled train step."""
 
     def __init__(self, config: dict, mesh: MeshContext | None = None):
+        from gan_variant_research_tpu.core.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.config = config
         self.policy = policy_from_config(config)
         par_cfg = config.get("parallel") or {}
@@ -197,25 +200,31 @@ class CUTTrainer:
     def init_state(self, seed: int | None = None) -> CUTTrainState:
         seed = seed if seed is not None else self.config.get("seed", 42)
         size = self.config.get("image_size", 256)
-        key = jax.random.key(seed)
-        kg, kd, krun = jax.random.split(key, 3)
-        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        g_vars = self.generator.init(kg, dummy)
-        d_vars = self.discriminator.init(kd, dummy)
-        g_params = g_vars["params"]
-        d_params = d_vars["params"]
-        d_spectral = d_vars.get("spectral", {})
-        state = CUTTrainState(
-            step=jnp.zeros((), jnp.int32),
-            g_params=g_params,
-            d_params=d_params,
-            d_spectral=d_spectral,
-            opt_g=self.opt_g.init(g_params),
-            opt_d=self.opt_d.init(d_params),
-            ema=ema_init(g_params),
-            base_key=krun,
-        )
-        return jax.device_put(state, self.mesh.replicated())
+
+        # One jitted init: eager flax .init dispatches hundreds of tiny ops
+        # individually (~60 s over the axon tunnel); fused it is sub-second
+        # and the program lands in the persistent compile cache.
+        @partial(jax.jit, out_shardings=self.mesh.replicated())
+        def _init(seed_arr):
+            key = jax.random.key(seed_arr)
+            kg, kd, krun = jax.random.split(key, 3)
+            dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+            g_vars = self.generator.init(kg, dummy)
+            d_vars = self.discriminator.init(kd, dummy)
+            g_params = g_vars["params"]
+            d_params = d_vars["params"]
+            return CUTTrainState(
+                step=jnp.zeros((), jnp.int32),
+                g_params=g_params,
+                d_params=d_params,
+                d_spectral=d_vars.get("spectral", {}),
+                opt_g=self.opt_g.init(g_params),
+                opt_d=self.opt_d.init(d_params),
+                ema=ema_init(g_params),
+                base_key=krun,
+            )
+
+        return _init(jnp.asarray(seed, jnp.uint32))
 
     def _apply_d(self, d_params, d_spectral, x, update_sn: bool, fp32: bool = False):
         model = self.discriminator_f32 if fp32 else self.discriminator

@@ -21,6 +21,7 @@ Augmentation (resize load_size → random-crop → flip) runs on device.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import flax.struct
@@ -74,6 +75,9 @@ def _build_generator(model_cfg: dict, policy: Policy):
 class CycleGANTrainer:
     def __init__(self, config: dict, mesh: MeshContext | None = None,
                  steps_per_epoch: int | None = None):
+        from gan_variant_research_tpu.core.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.config = config
         self.policy = policy_from_config(config)
         par_cfg = config.get("parallel") or {}
@@ -138,27 +142,33 @@ class CycleGANTrainer:
     def init_state(self, seed: int | None = None) -> CycleGANTrainState:
         seed = seed if seed is not None else self.config["training"].get("seed", 0)
         size = self.config["data"].get("img_size", 256)
-        key = jax.random.key(seed)
-        k1, k2, k3, k4, krun = jax.random.split(key, 5)
-        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        gab = self.generator.init(k1, dummy)["params"]
-        gba = self.generator.init(k2, dummy)["params"]
-        da_vars = self.discriminator.init(k3, dummy)
-        db_vars = self.discriminator.init(k4, dummy)
-        g_params = {"G_A2B": gab, "G_B2A": gba}
-        state = CycleGANTrainState(
-            step=jnp.zeros((), jnp.int32),
-            g_params=g_params,
-            da_params=da_vars["params"],
-            db_params=db_vars["params"],
-            da_spectral=da_vars.get("spectral", {}),
-            db_spectral=db_vars.get("spectral", {}),
-            opt_g=self.opt_g.init(g_params),
-            opt_da=self.opt_da.init(da_vars["params"]),
-            opt_db=self.opt_db.init(db_vars["params"]),
-            base_key=krun,
-        )
-        return jax.device_put(state, self.mesh.replicated())
+
+        # jitted init: eager flax .init is ~1 min of tiny dispatches over the
+        # axon tunnel; fused it is sub-second (see CUTTrainer.init_state)
+        @partial(jax.jit, out_shardings=self.mesh.replicated())
+        def _init(seed_arr):
+            key = jax.random.key(seed_arr)
+            k1, k2, k3, k4, krun = jax.random.split(key, 5)
+            dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+            gab = self.generator.init(k1, dummy)["params"]
+            gba = self.generator.init(k2, dummy)["params"]
+            da_vars = self.discriminator.init(k3, dummy)
+            db_vars = self.discriminator.init(k4, dummy)
+            g_params = {"G_A2B": gab, "G_B2A": gba}
+            return CycleGANTrainState(
+                step=jnp.zeros((), jnp.int32),
+                g_params=g_params,
+                da_params=da_vars["params"],
+                db_params=db_vars["params"],
+                da_spectral=da_vars.get("spectral", {}),
+                db_spectral=db_vars.get("spectral", {}),
+                opt_g=self.opt_g.init(g_params),
+                opt_da=self.opt_da.init(da_vars["params"]),
+                opt_db=self.opt_db.init(db_vars["params"]),
+                base_key=krun,
+            )
+
+        return _init(jnp.asarray(seed, jnp.uint32))
 
     def _apply_g(self, params, x):
         return self.generator.apply({"params": params}, x)

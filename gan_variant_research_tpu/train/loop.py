@@ -53,6 +53,7 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     tracker = LossTracker(log_dir).start()
     averager = Averager()
 
+    trainer = CUTTrainer(config)
     io_cfg = config.get("io") or {}
     loader = UnpairedLoader(
         config["data"]["photos_dir"],
@@ -62,17 +63,15 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
         seed=config.get("seed", 42),
         num_workers=io_cfg.get("num_workers", config.get("num_workers", 8)),
         prefetch=config.get("prefetch_factor", 4),
+        # stage batches on device from the prefetch thread: the H2D copy
+        # overlaps compute instead of serializing inside the jit dispatch
+        device_sharding=trainer.mesh.batch_sharding(4),
     )
     print(f"Photos: {loader.num_photos}, Monet: {loader.num_monets}")
 
-    trainer = CUTTrainer(config)
-    n_g = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
-        trainer.generator.init(jax.random.key(0),
-                               np.zeros((1, config['image_size'], config['image_size'], 3),
-                                        np.float32))["params"]))
-    print(f"Generator parameters: {int(n_g):,}")
-
     state = trainer.init_state()
+    n_g = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(state.g_params))
+    print(f"Generator parameters: {int(n_g):,}")
 
     start_step = 0
     if resume:
@@ -149,9 +148,12 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
                 profiling = True
             k = min(steps_per_call, max_steps - step)
             if k > 1:
+                import jax.numpy as jnp
+
                 stacked = [next(loader) for _ in range(k)]
-                photos_w = np.stack([b[0] for b in stacked])
-                monets_w = np.stack([b[1] for b in stacked])
+                # batches are already device-resident; stack on device
+                photos_w = jnp.stack([b[0] for b in stacked])
+                monets_w = jnp.stack([b[1] for b in stacked])
                 state, losses_w = trainer.train_window(state, photos_w, monets_w, step)
                 for i in range(k):
                     pending.append(

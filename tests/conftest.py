@@ -20,6 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: identical programs built by different trainer
+# instances (and by successive test runs) hit the on-disk cache instead of
+# recompiling — the dominant cost of this suite on a 1-core host.
+from gan_variant_research_tpu.core.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

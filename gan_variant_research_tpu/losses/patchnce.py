@@ -33,10 +33,15 @@ def _layer_nce(key, src_feat, tgt_feat, temperature: float, num_patches: int):
 
     patch_ids = jax.random.randint(key, (n,), 0, hw)
 
-    src = src_feat.reshape(b, hw, c).astype(jnp.float32)
-    tgt = tgt_feat.reshape(b, hw, c).astype(jnp.float32)
-    src_p = jnp.take(src, patch_ids, axis=1)  # (B, n, C)
-    tgt_p = jnp.take(tgt, patch_ids, axis=1)
+    # gather in the native dtype FIRST, cast the tiny (B, n, C) patch set to
+    # fp32 after: casting the full (B, HW, C) maps before the gather forced
+    # XLA to materialize fp32 copies of the 256² stem taps (~0.5 GB each,
+    # ~12 ms/step profiled on a v5e); the gather itself does no arithmetic,
+    # so the ordering is numerically identical
+    src = src_feat.reshape(b, hw, c)
+    tgt = tgt_feat.reshape(b, hw, c)
+    src_p = jnp.take(src, patch_ids, axis=1).astype(jnp.float32)  # (B, n, C)
+    tgt_p = jnp.take(tgt, patch_ids, axis=1).astype(jnp.float32)
 
     def normalize(v):
         norm = jnp.linalg.norm(v, axis=-1, keepdims=True)

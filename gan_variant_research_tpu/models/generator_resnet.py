@@ -166,6 +166,9 @@ class ResNetGenerator(nn.Module):
     # route eligible residual blocks through the fused Pallas pad+conv
     # kernels (ops/pallas/resblock.py)
     use_pallas: bool = False
+    # exact space-to-depth schedule for the 7×7 stem/head convs (ops/s2d.py):
+    # same parameters and math, ~4× faster on the MXU for 3-channel tensors
+    use_s2d: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -199,7 +202,7 @@ class ResNetGenerator(nn.Module):
         h = pad_2d(x, 3, self.padding_type) if self.padding_type == "reflect" else x
         h = Conv2d(
             self.ngf, kernel_size=7, padding=stem_pad, use_bias=self.use_bias,
-            name="initial_conv", **kw,
+            s2d=self.use_s2d, name="initial_conv", **kw,
         )(h)
         h = _norm(h, self.norm)
         h = act(h)
@@ -248,7 +251,7 @@ class ResNetGenerator(nn.Module):
         out = pad_2d(h, 3, self.padding_type) if self.padding_type == "reflect" else h
         out = Conv2d(
             self.output_nc, kernel_size=7, padding=stem_pad, use_bias=True,
-            name="output_conv", **kw,
+            s2d=self.use_s2d, name="output_conv", **kw,
         )(out)
         out = jnp.tanh(out)
 

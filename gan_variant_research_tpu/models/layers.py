@@ -46,6 +46,10 @@ class Conv2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     use_spectral_norm: bool = False
+    # exact space-to-depth schedule for 7×7 stride-1 convs (MXU-hostile with
+    # 3-channel tensors: profiled 4-12 TF/s vs ~180 TF/s trunk convs) — see
+    # ops/s2d.py; parameters and math are unchanged
+    s2d: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -67,13 +71,23 @@ class Conv2d(nn.Module):
                 u_var.value = u_new
 
         pad = _pair(self.padding)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(self.dtype),
-            window_strides=_pair(self.strides),
-            padding=((pad[0], pad[0]), (pad[1], pad[1])),
-            dimension_numbers=_DIMS,
-        )
+        if (self.s2d and (kh, kw) == (7, 7) and _pair(self.strides) == (1, 1)
+                and (x.shape[1] + 2 * pad[0] - 6) % 2 == 0
+                and (x.shape[2] + 2 * pad[1] - 6) % 2 == 0):
+            from gan_variant_research_tpu.ops.s2d import conv7x7_s2d
+
+            xp = x
+            if pad != (0, 0):
+                xp = jnp.pad(x, ((0, 0), (pad[0],) * 2, (pad[1],) * 2, (0, 0)))
+            y = conv7x7_s2d(xp, kernel, dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                window_strides=_pair(self.strides),
+                padding=((pad[0], pad[0]), (pad[1], pad[1])),
+                dimension_numbers=_DIMS,
+            )
         if self.use_bias:
             fan_in = kh * kw * in_c
             bias = self.param(

@@ -94,3 +94,54 @@ def test_resize_bilinear_upsample_matches_torch(rng):
         align_corners=False,
     )
     np.testing.assert_allclose(got, _nhwc(want.numpy()), atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# Space-to-depth 7×7 conv (ops/s2d.py): exact reparametrization of the
+# generator stem/head convs (GAN_Variant1/models/generator_resnet_attn.py:111,158)
+
+def _conv7x7_direct(xp, k):
+    return jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("c,o,hw", [(3, 8, 16), (8, 3, 12), (5, 7, 10)])
+def test_conv7x7_s2d_matches_direct(rng, c, o, hw):
+    from gan_variant_research_tpu.ops.s2d import conv7x7_s2d
+
+    xp = jnp.asarray(rng.standard_normal((2, hw + 6, hw + 6, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, c, o)).astype(np.float32) * 0.1)
+    got = np.asarray(conv7x7_s2d(xp, k))
+    want = np.asarray(_conv7x7_direct(xp, k))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_conv7x7_s2d_gradients_match(rng):
+    from gan_variant_research_tpu.ops.s2d import conv7x7_s2d
+
+    xp = jnp.asarray(rng.standard_normal((1, 14, 14, 3)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((7, 7, 3, 4)).astype(np.float32) * 0.1)
+    g_s2d = jax.grad(lambda kk: conv7x7_s2d(xp, kk).sum())(k)
+    g_dir = jax.grad(lambda kk: _conv7x7_direct(xp, kk).sum())(k)
+    np.testing.assert_allclose(np.asarray(g_s2d), np.asarray(g_dir),
+                               atol=1e-4, rtol=1e-4)
+    gx_s2d = jax.grad(lambda xx: (conv7x7_s2d(xx, k) ** 2).sum())(xp)
+    gx_dir = jax.grad(lambda xx: (_conv7x7_direct(xx, k) ** 2).sum())(xp)
+    np.testing.assert_allclose(np.asarray(gx_s2d), np.asarray(gx_dir),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_conv2d_s2d_flag_parity(rng):
+    """Conv2d(s2d=True) == Conv2d(s2d=False): same params, same output; odd
+    spatial sizes fall back to the direct path silently."""
+    from gan_variant_research_tpu.models.layers import Conv2d
+
+    for hw in (16, 15):  # even → s2d path, odd → fallback
+        x = jnp.asarray(rng.standard_normal((2, hw, hw, 3)).astype(np.float32))
+        m_ref = Conv2d(8, kernel_size=7, padding=3, s2d=False)
+        m_s2d = Conv2d(8, kernel_size=7, padding=3, s2d=True)
+        params = m_ref.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m_s2d.apply(params, x)),
+            np.asarray(m_ref.apply(params, x)),
+            atol=1e-4, rtol=1e-4)

@@ -13,8 +13,9 @@ def test_window_matches_single_steps(rng):
     cfg = tiny_config()
     cfg["warmup_steps"] = 5  # identity flips off inside the window
     cfg["r1"]["every"] = 3
-    t1 = CUTTrainer(cfg)
-    t2 = CUTTrainer(cfg)
+    # ONE trainer, two independent states: the single-step and window paths
+    # share the same jit wrappers, halving the compile count of this test
+    t1 = t2 = CUTTrainer(cfg)
     s1 = t1.init_state()
     s2 = t2.init_state()
 

@@ -133,8 +133,15 @@ def run(steps: int, size: int, data_root: Path, out_root: Path):
 
 
 def analyze(log_dir: Path, steps: int, warmup: int) -> dict:
-    lines = [json.loads(line) for line in
-             (log_dir / "train_log.txt").read_text().splitlines() if line.strip()]
+    # contract: ``Step N: {json}`` per line (train/loss_tracker.py)
+    lines = []
+    for raw in (log_dir / "train_log.txt").read_text().splitlines():
+        prefix, _, payload = raw.partition(": ")
+        if not payload.strip().startswith("{"):
+            continue
+        entry = json.loads(payload)
+        entry["step"] = int(prefix.split()[1])
+        lines.append(entry)
     by = {k: np.array([ln[k] for ln in lines if k in ln])
           for k in ("step", "d_loss", "g_loss", "nce", "identity",
                     "identity_weight")}

@@ -36,8 +36,14 @@ def batches(rng, b=2, s=20):
             rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8))
 
 
-def test_step_runs_and_losses_finite(rng):
-    t = CycleGANTrainer(tiny_cfg(), steps_per_epoch=2)
+@pytest.fixture(scope="module")
+def base_trainer():
+    # one compiled trainer for every test on the default tiny config
+    return CycleGANTrainer(tiny_cfg(), steps_per_epoch=2)
+
+
+def test_step_runs_and_losses_finite(base_trainer, rng):
+    t = base_trainer
     s = t.init_state()
     a, b = batches(rng)
     s, losses = t.train_step(s, a, b)
@@ -96,10 +102,10 @@ def test_unet_generator_option(rng):
     assert np.isfinite(float(losses["G"]))
 
 
-def test_checkpoint_payload_schema_and_roundtrip(rng, tmp_path):
+def test_checkpoint_payload_schema_and_roundtrip(base_trainer, rng, tmp_path):
     from gan_variant_research_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
-    t = CycleGANTrainer(tiny_cfg(), steps_per_epoch=2)
+    t = base_trainer
     s = t.init_state()
     a, b = batches(rng)
     s, _ = t.train_step(s, a, b)

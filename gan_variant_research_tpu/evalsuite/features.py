@@ -9,6 +9,8 @@ dataset hash."""
 
 from __future__ import annotations
 
+import queue
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -16,6 +18,32 @@ import numpy as np
 from gan_variant_research_tpu.evalsuite.datasets import iter_batches
 from gan_variant_research_tpu.evalsuite.frechet import gaussian_stats
 from gan_variant_research_tpu.evalsuite.inception import InceptionFID
+
+
+def _prefetch_to_device(batches, depth: int = 2):
+    """Stage (batch, n_valid) pairs onto the device from a background thread
+    so decode + host→device transfer of batch N+1 overlap the inception
+    forward of batch N. Measured on the tunneled v5e: device-resident batches
+    run 659-807 img/s vs ~95 img/s when each transfer serializes with the
+    compute (docs/PERF.md)."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch, n_valid in batches:
+                q.put((jax.device_put(batch), n_valid))
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
 
 
 class InceptionFeatureExtractor:
@@ -33,9 +61,9 @@ class InceptionFeatureExtractor:
                 verbose: bool = True) -> np.ndarray:
         feats = []
         done = 0
-        for batch, n_valid in iter_batches(
+        for batch, n_valid in _prefetch_to_device(iter_batches(
             paths, self.batch_size, self.img_size, self.num_workers
-        ):
+        )):
             f = self.net.features_u8(batch)[:n_valid]
             feats.append(f)
             done += n_valid

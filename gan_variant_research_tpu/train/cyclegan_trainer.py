@@ -218,11 +218,11 @@ class CycleGANTrainer:
                 identity_loss(idt_A, real_A) + identity_loss(idt_B, real_B)
             )
             total = loss_adv + loss_cyc + loss_id
-            return total, (fake_A, fake_B)
+            return total, (fake_A, fake_B, loss_adv, loss_cyc, loss_id)
 
-        (loss_G, (fake_A, fake_B)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        (loss_G, (fake_A, fake_B, loss_adv, loss_cyc, loss_id)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        )
         g_upd, opt_g = self.opt_g.update(g_grads, state.opt_g, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_upd)
 
@@ -263,7 +263,10 @@ class CycleGANTrainer:
             opt_da=opt_da,
             opt_db=opt_db,
         )
-        losses = {"G": loss_G, "D_A": loss_D_A, "D_B": loss_D_B}
+        # G/D_A/D_B match the reference's logged keys (train.py:118-122);
+        # adv/cycle/idt are additive diagnostics
+        losses = {"G": loss_G, "D_A": loss_D_A, "D_B": loss_D_B,
+                  "adv": loss_adv, "cycle": loss_cyc, "idt": loss_id}
         return new_state, losses
 
     def checkpoint_payload(self, state: CycleGANTrainState) -> dict:

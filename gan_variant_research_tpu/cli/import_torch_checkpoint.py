@@ -129,13 +129,25 @@ def import_torch_checkpoint(ckpt_path: str | Path, out_path: str | Path,
         raise ValueError(f"Unsupported checkpoint object: {type(blob)}")
 
     # layered key fallbacks, mirroring the reference's _pick_state_dict
+    # (generate_folder.py:120-167): generator → its EXPECT_KEYS legacy names
+    # → raw all-tensor state dict → shallow nested all-tensor dict
+    def _is_state_dict(d):
+        return (isinstance(d, dict) and d
+                and all(torch.is_tensor(v) for v in d.values()))
+
     gen_sd = None
-    for key in ("generator", "G", "netG", "model"):
+    for key in ("generator", "G", "netG", "model",
+                "ema_state_dict", "G_ema", "G_state_dict", "state_dict"):
         if key in blob and isinstance(blob[key], dict):
             gen_sd = blob[key]
             break
-    if gen_sd is None and any(k.startswith("initial.") for k in blob):
+    if gen_sd is None and _is_state_dict(blob):
         gen_sd = blob  # bare state dict
+    if gen_sd is None:
+        for v in blob.values():  # last resort: shallow nested scan
+            if _is_state_dict(v):
+                gen_sd = v
+                break
     if gen_sd is None:
         raise KeyError(
             f"No generator state dict found in {ckpt_path}; keys: {sorted(blob)[:10]}"

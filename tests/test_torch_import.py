@@ -138,3 +138,28 @@ def test_full_checkpoint_import_and_generate(torch_gen, tmp_path, rng):
                         jnp.zeros((1, 32, 32, 3), jnp.float32))
     assert y.shape == (1, 32, 32, 3)
     assert bool(np.isfinite(np.asarray(y)).all())
+
+
+@pytest.mark.parametrize("layout", ["G_state_dict", "bare", "nested"])
+def test_legacy_layouts_import(torch_gen, tmp_path, layout):
+    """The reference inference CLI accepts several legacy checkpoint layouts
+    (generate_folder.py:120-167 EXPECT_KEYS + raw/nested state-dict scans);
+    the importer must take all of them."""
+    gen_sd = torch_gen.state_dict()
+    if layout == "G_state_dict":
+        blob = {"G_state_dict": gen_sd, "step": 7}
+    elif layout == "bare":
+        blob = gen_sd
+    else:
+        blob = {"whatever": {k: v for k, v in gen_sd.items()}}
+    pt = tmp_path / f"{layout}.pt"
+    torch.save(blob, pt)
+    out = tmp_path / f"{layout}.msgpack"
+    import_torch_checkpoint(pt, out)
+
+    from gan_variant_research_tpu.cli.generate_folder import load_generator_params
+
+    _, params, _ = load_generator_params(str(out), use_ema=True)  # EMA absent → raw
+    exp = convert_generator_state_dict(gen_sd)
+    np.testing.assert_allclose(
+        params["initial_conv"]["kernel"], exp["initial_conv"]["kernel"])

@@ -313,9 +313,11 @@ class InceptionFID:
                     "or converted .npz), or allow_random=True for pipeline "
                     "tests only."
                 )
-            self.params = self.module.init(
+            # jitted init: eager flax .init dispatches hundreds of tiny ops
+            # (minutes over a remote-device tunnel); fused it is sub-second
+            self.params = jax.jit(lambda: self.module.init(
                 jax.random.key(0), jnp.zeros((1, 299, 299, 3), jnp.float32)
-            )["params"]
+            )["params"])()
         self._features = jax.jit(
             lambda u8: self.module.apply({"params": self.params},
                                          preprocess_uint8(u8))

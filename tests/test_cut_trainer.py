@@ -174,3 +174,26 @@ def test_nce_disabled_when_weight_zero(rng):
     _, losses = t.train_step(t.init_state(), p, m)
     assert float(losses["nce"]) == 0.0
     assert float(losses["identity"]) == 0.0
+
+
+def test_multiscale_sn_step(rng):
+    """Full train step with the reference's optional D features enabled
+    together: 2-scale pyramid D (discriminator_patchgan.py:75-128) +
+    spectral norm (:23). The hinge losses must average over scales and the
+    SN power-iteration state must advance inside the jitted step."""
+    cfg = tiny_config(model={
+        "generator": {"ngf": 4, "n_blocks": 2},
+        "discriminator": {"ndf": 4, "n_layers": 2, "num_scales": 2,
+                          "use_spectral_norm": True},
+    })
+    t = CUTTrainer(cfg)
+    s = t.init_state()
+    assert jax.tree_util.tree_leaves(s.d_spectral), "SN state missing"
+    u0 = jax.tree_util.tree_leaves(s.d_spectral)[0].copy()
+    p, m = batches(rng)
+    s, losses = t.train_step(s, p, m)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    u1 = jax.tree_util.tree_leaves(s.d_spectral)[0]
+    assert not np.array_equal(np.asarray(u0), np.asarray(u1)), \
+        "SN power-iteration state did not advance"

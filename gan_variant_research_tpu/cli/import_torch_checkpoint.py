@@ -138,7 +138,10 @@ def import_torch_checkpoint(ckpt_path: str | Path, out_path: str | Path,
     gen_sd = None
     for key in ("generator", "G", "netG", "model",
                 "ema_state_dict", "G_ema", "G_state_dict", "state_dict"):
-        if key in blob and isinstance(blob[key], dict):
+        # require an actual tensor state dict so a config/metadata dict under
+        # an earlier key (e.g. "model": {...hyperparams...}) cannot shadow the
+        # real weights under a later one
+        if _is_state_dict(blob.get(key)):
             gen_sd = blob[key]
             break
     if gen_sd is None and _is_state_dict(blob):

@@ -18,21 +18,24 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
-_enabled = False
+_active_dir: str | None = None
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Idempotently point JAX's compilation cache at ``cache_dir``
     (default: ``<repo>/.jax_cache``). Safe to call before or after the first
-    jax import, but must run before the first compilation to be effective."""
-    global _enabled
+    jax import, but must run before the first compilation to be effective.
+    Returns the directory that is ACTUALLY active: the first call wins, and a
+    later call with a different dir reconfigures JAX to it (programs compiled
+    before that point stay in the old dir)."""
+    global _active_dir
     import jax
 
     cache_dir = cache_dir or os.environ.get("GVR_JAX_CACHE_DIR", _DEFAULT_DIR)
-    if _enabled:
-        return cache_dir
+    if _active_dir == cache_dir:
+        return _active_dir
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _enabled = True
-    return cache_dir
+    _active_dir = cache_dir
+    return _active_dir

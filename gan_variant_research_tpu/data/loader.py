@@ -131,15 +131,25 @@ class UnpairedLoader:
         return len(self.monets.source)
 
     def _produce(self):
-        while not self._stop.is_set():
-            batch = (self.photos.next_batch(), self.monets.next_batch())
-            if self.device_sharding is not None:
-                import jax
+        try:
+            while not self._stop.is_set():
+                batch = (self.photos.next_batch(), self.monets.next_batch())
+                if self.device_sharding is not None:
+                    import jax
 
-                batch = jax.device_put(batch, self.device_sharding)
+                    batch = jax.device_put(batch, self.device_sharding)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:
+            # surface decode/staging errors in the consumer instead of dying
+            # silently here (which would hang __next__ forever)
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=0.5)
+                    self._q.put(e, timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -148,7 +158,10 @@ class UnpairedLoader:
         return self
 
     def __next__(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
 
     def close(self):
         self._stop.set()

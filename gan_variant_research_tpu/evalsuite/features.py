@@ -35,14 +35,17 @@ def _prefetch_to_device(batches, depth: int = 2):
         try:
             for batch, n_valid in batches:
                 q.put((jax.device_put(batch), n_valid))
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate decode/transfer errors
+            q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

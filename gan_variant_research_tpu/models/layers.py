@@ -71,11 +71,15 @@ class Conv2d(nn.Module):
                 u_var.value = u_new
 
         pad = _pair(self.padding)
-        if (self.s2d and (kh, kw) == (7, 7) and _pair(self.strides) == (1, 1)
-                and (x.shape[1] + 2 * pad[0] - 6) % 2 == 0
-                and (x.shape[2] + 2 * pad[1] - 6) % 2 == 0):
-            from gan_variant_research_tpu.ops.s2d import conv7x7_s2d
+        from gan_variant_research_tpu.ops.s2d import (
+            conv7x7_s2d,
+            conv7x7_s2d_supported,
+        )
 
+        padded_shape = (x.shape[0], x.shape[1] + 2 * pad[0],
+                        x.shape[2] + 2 * pad[1])
+        if (self.s2d and (kh, kw) == (7, 7) and _pair(self.strides) == (1, 1)
+                and conv7x7_s2d_supported(padded_shape)):
             xp = x
             if pad != (0, 0):
                 xp = jnp.pad(x, ((0, 0), (pad[0],) * 2, (pad[1],) * 2, (0, 0)))

@@ -61,8 +61,11 @@ def _depth_to_space(y: jnp.ndarray, o: int) -> jnp.ndarray:
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h2, 2 * w2, o)
 
 
-def conv7x7_s2d_supported(x_shape) -> bool:
-    return x_shape[1] % 2 == 0 and x_shape[2] % 2 == 0
+def conv7x7_s2d_supported(padded_shape) -> bool:
+    """True iff a VALID 7×7 conv over an input of this (already padded)
+    (N, H+6, W+6, …) shape has an even output — the s2d schedule's only
+    requirement. Even Hp ⇔ even Hp−6 = H."""
+    return padded_shape[1] % 2 == 0 and padded_shape[2] % 2 == 0
 
 
 def conv7x7_s2d(x_padded: jnp.ndarray, kernel: jnp.ndarray,

@@ -104,8 +104,14 @@ def write_dataset(root: Path, n_photos=200, n_paintings=100, size=128, seed=0):
 # --------------------------------------------------------------------------- #
 
 def run(steps: int, size: int, data_root: Path, out_root: Path):
+    import shutil
+
     from gan_variant_research_tpu.core.config import load_config, override_config
     from gan_variant_research_tpu.train.loop import train_cut
+
+    # LossTracker appends to train_log.txt — clear any previous run so
+    # analyze() never mixes two trainings' trajectories
+    shutil.rmtree(out_root, ignore_errors=True)
 
     pdir, mdir = write_dataset(data_root, size=size)
     warmup = max(1, steps // 3)

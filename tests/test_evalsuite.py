@@ -283,3 +283,18 @@ class TestPipeline:
         # second run hits the cache (and changes nothing)
         report2 = run_evaluation(cfg, allow_random_weights=True)
         assert report2["scores"]["fid"] == report["scores"]["fid"]
+
+
+def test_prefetch_propagates_producer_errors():
+    """A decode/transfer error in the background staging thread must surface
+    in the consumer, not silently truncate the feature set."""
+    from gan_variant_research_tpu.evalsuite.features import _prefetch_to_device
+
+    def bad_batches():
+        yield (np.zeros((2, 4, 4, 3), np.uint8), 2)
+        raise OSError("corrupt image")
+
+    it = _prefetch_to_device(bad_batches())
+    next(it)
+    with pytest.raises(OSError, match="corrupt image"):
+        next(it)

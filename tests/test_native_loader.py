@@ -66,3 +66,20 @@ def test_loader_uses_native_with_pil_fallback(jpeg_file):
 
     arr = load_image_u8(jpeg_file, size=32)
     assert arr.shape == (32, 32, 3)
+
+
+def test_loader_propagates_decode_errors(tmp_path):
+    """A corrupt image must raise in the consumer instead of killing the
+    producer thread and hanging __next__ forever."""
+    from gan_variant_research_tpu.data.loader import UnpairedLoader
+
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+        (tmp_path / d / "img0.jpg").write_bytes(b"not a jpeg at all")
+    loader = UnpairedLoader(tmp_path / "a", tmp_path / "b",
+                            batch_size=1, size=16, num_workers=1)
+    try:
+        with pytest.raises(Exception):
+            next(loader)
+    finally:
+        loader.close()

@@ -163,3 +163,21 @@ def test_legacy_layouts_import(torch_gen, tmp_path, layout):
     exp = convert_generator_state_dict(gen_sd)
     np.testing.assert_allclose(
         params["initial_conv"]["kernel"], exp["initial_conv"]["kernel"])
+
+
+def test_metadata_dict_does_not_shadow_state_dict(torch_gen, tmp_path):
+    """A config dict under an early fallback key (e.g. 'model') must not
+    shadow the real tensor state dict under a later key."""
+    blob = {"model": {"name": "cutpp", "ngf": 8},
+            "state_dict": torch_gen.state_dict()}
+    pt = tmp_path / "shadow.pt"
+    torch.save(blob, pt)
+    out = tmp_path / "shadow.msgpack"
+    import_torch_checkpoint(pt, out)
+
+    from gan_variant_research_tpu.cli.generate_folder import load_generator_params
+
+    _, params, _ = load_generator_params(str(out), use_ema=False)
+    exp = convert_generator_state_dict(torch_gen.state_dict())
+    np.testing.assert_allclose(
+        params["initial_conv"]["kernel"], exp["initial_conv"]["kernel"])

@@ -10,6 +10,7 @@ single-device behavior matches the reference.
 from gan_variant_research_tpu.parallel.mesh import (
     MeshContext,
     create_mesh,
+    init_distributed,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -20,6 +21,7 @@ from gan_variant_research_tpu.parallel.mesh import (
 __all__ = [
     "MeshContext",
     "create_mesh",
+    "init_distributed",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

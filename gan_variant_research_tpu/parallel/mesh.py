@@ -40,6 +40,36 @@ class MeshContext:
         return NamedSharding(self.mesh, P())
 
 
+def init_distributed(enable: bool | str = "auto") -> bool:
+    """Multi-host entry hook (SURVEY.md §5 "Distributed communication
+    backend": ``jax.distributed.initialize()`` + DCN across hosts, ICI
+    within). Idempotent; returns True iff a multi-process runtime is active.
+
+    ``enable="auto"`` initializes only when a multi-host launcher's
+    coordinator environment is present (Cloud TPU pods export it; JAX
+    auto-detects its own coordinates there), so single-host runs — and this
+    repo's tests — are untouched. After initialization ``jax.devices()`` is
+    global, which is exactly what ``create_mesh`` consumes; note the data
+    loaders feed the full global batch from every host, so multi-host DP
+    additionally wants per-host input sharding (documented limitation).
+    """
+    import os
+
+    if enable is False:
+        return False
+    want = enable is True or any(
+        k in os.environ
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not want:
+        return False
+    if jax.process_count() > 1:  # already initialized
+        return True
+    jax.distributed.initialize()
+    return jax.process_count() > 1
+
+
 def create_mesh(
     num_devices: int | None = None,
     data_axis: str = DATA_AXIS,

@@ -53,3 +53,13 @@ def test_single_device_mesh_degrades():
     x = np.ones((4, 2), np.float32)
     sx = shard_batch(ctx, x)
     assert len(sx.addressable_shards) == 1
+
+
+def test_init_distributed_single_host_noop():
+    """init_distributed must be a safe no-op outside a multi-host launcher
+    (enable=False and auto-without-coordinator), and idempotent."""
+    from gan_variant_research_tpu.parallel import init_distributed
+
+    assert init_distributed(False) is False
+    assert init_distributed("auto") is False  # no coordinator env here
+    assert init_distributed("auto") is False

@@ -249,6 +249,7 @@ CUT_SCHEMA: dict = {
     "parallel": {
         "data_axis": str,
         "num_devices": int,       # None/absent → all local devices
+        "multihost": (bool, str),  # False | True | "auto" (coordinator env)
     },
 }
 
@@ -288,5 +289,5 @@ CYCLEGAN_SCHEMA: dict = {
         "generator": str,  # "resnet" | "unet" (notebook lineage)
     },
     "runtime": {"device": str, "platform": str, "precision": str},
-    "parallel": {"data_axis": str, "num_devices": int},
+    "parallel": {"data_axis": str, "num_devices": int, "multihost": (bool, str)},
 }

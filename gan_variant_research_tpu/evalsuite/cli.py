@@ -69,10 +69,13 @@ def _banner(step: int, title: str):
               help="Disable the real-stats cache")
 @click.option("--inception-weights", default=None,
               help="Path to FID InceptionV3 weights (.pth or converted .npz)")
+@click.option("--kid", is_flag=True, default=False,
+              help="Also compute Kernel Inception Distance (beyond-reference; "
+                   "reuses the extracted pool3 features)")
 @click.option("--allow-random-weights", is_flag=True, default=False, hidden=True,
               help="Pipeline tests only: random Inception weights")
 def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
-         img_size, device, cosine_eps, no_cache, inception_weights,
+         img_size, device, cosine_eps, no_cache, inception_weights, kid,
          allow_random_weights):
     """Compute MiFID/FID for a folder of generated images."""
     cfg = load_config(config_path)
@@ -87,6 +90,7 @@ def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
     cfg["use_cache"] = (not no_cache) and cfg.get("use_cache", True)
     cfg["cache_dir"] = cfg.get("cache_dir", "cache")
     cfg["inception_weights"] = inception_weights or cfg.get("inception_weights")
+    cfg["kid"] = kid or cfg.get("kid", False)
     cfg.setdefault("name", Path(cfg["fake_dir"] or "run").name)
     cfg.setdefault("real_mode", "folder")
     if cfg.get("real_mode") != "folder":
@@ -156,6 +160,13 @@ def run_evaluation(cfg: dict, allow_random_weights: bool = False) -> dict:
             extractor, real_paths, fake_paths,
             cosine_eps=cfg["cosine_eps"], real_stats=real_stats,
         )
+    if cfg.get("kid"):
+        from gan_variant_research_tpu.evalsuite.kid import compute_kid
+
+        with timer("KID computation"):
+            results["kid"] = compute_kid(
+                results["real_features"], results["fake_features"]
+            )
 
     _banner(6, "Writing reports")
     report = create_report(

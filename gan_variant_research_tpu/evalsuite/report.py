@@ -37,6 +37,10 @@ def create_report(
             "mifid": round(float(scores.get("mifid", 0.0)), 4),
             "fid": round(float(scores.get("fid", 0.0)), 4),
             "cosine_min_distance": scores.get("cosine_min_distance", {}),
+            # KID is opt-in (--kid) and beyond-reference; the key is present
+            # only when computed so the default report schema stays identical
+            # to the golden sample_report.json layout
+            **({"kid": scores["kid"]} if "kid" in scores else {}),
         },
         "hashes": hashes,
         "notes": (

@@ -298,3 +298,47 @@ def test_prefetch_propagates_producer_errors():
     next(it)
     with pytest.raises(OSError, match="corrupt image"):
         next(it)
+
+
+class TestKID:
+    def test_mmd2_unbiased_hand_computed(self):
+        from gan_variant_research_tpu.evalsuite.kid import (
+            _mmd2_unbiased,
+            _polynomial_kernel,
+        )
+
+        x = np.array([[1.0, 0.0], [0.0, 1.0]])
+        y = np.array([[1.0, 1.0], [2.0, 0.0]])
+        # gamma = 1/d = 0.5, coef 1, degree 3
+        k_xx = _polynomial_kernel(x, x)
+        k_yy = _polynomial_kernel(y, y)
+        k_xy = _polynomial_kernel(x, y)
+        got = _mmd2_unbiased(k_xx, k_yy, k_xy)
+        # off-diagonal k_xx: (0.5*0+1)^3 = 1 (both); k_yy off-diag:
+        # (0.5*2+1)^3 = 8; k_xy entries: xy^T = [[1,2],[1,0]] ->
+        # ((0.5*.+1)^3) = [[3.375, 8], [3.375, 1]]
+        want = 1.0 + 8.0 - 2 * np.mean([3.375, 8.0, 3.375, 1.0])
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_kid_null_vs_shifted(self, rng):
+        from gan_variant_research_tpu.evalsuite.kid import compute_kid
+
+        a = rng.standard_normal((400, 32))
+        b = rng.standard_normal((400, 32))
+        null = compute_kid(a, b, subsets=20, subset_size=100)
+        shifted = compute_kid(a, b + 1.0, subsets=20, subset_size=100)
+        assert abs(null["kid_mean"]) < 0.05          # same distribution ≈ 0
+        assert shifted["kid_mean"] > 10 * abs(null["kid_mean"])
+        assert null["subset_size"] == 100 and null["subsets"] == 20
+
+    def test_kid_in_cli_report(self, tmp_path, rng):
+        """--kid adds a scores.kid block; without it the schema is unchanged."""
+        from gan_variant_research_tpu.evalsuite.report import create_report
+
+        base = {"mifid": 1.0, "fid": 2.0, "cosine_min_distance": {}}
+        r0 = create_report(base, {}, {}, {})
+        assert "kid" not in r0["scores"]
+        r1 = create_report({**base, "kid": {"kid_mean": 0.01, "kid_std": 0.002,
+                                            "subsets": 100, "subset_size": 50}},
+                           {}, {}, {})
+        assert r1["scores"]["kid"]["kid_mean"] == 0.01

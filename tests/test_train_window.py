@@ -41,3 +41,16 @@ def test_window_matches_single_steps(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
                     jax.tree_util.tree_leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_nan_tripwire_raises():
+    """The loop's numeric sanitizer must halt on non-finite losses
+    (reference train_cutpp.py:326-329) but ignore identity_weight, which
+    legitimately anneals through exact 0.0 and is excluded."""
+    from gan_variant_research_tpu.train.loop import _check_finite
+
+    _check_finite(3, {"d_loss": 1.0, "g_loss": 2.0, "identity_weight": 0.0})
+    with pytest.raises(ValueError, match="NaN loss detected at step 7"):
+        _check_finite(7, {"d_loss": float("nan"), "g_loss": 1.0})
+    with pytest.raises(ValueError):
+        _check_finite(8, {"d_loss": float("inf"), "g_loss": 1.0})

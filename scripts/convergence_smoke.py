@@ -103,7 +103,8 @@ def write_dataset(root: Path, n_photos=200, n_paintings=100, size=128, seed=0):
 
 # --------------------------------------------------------------------------- #
 
-def run(steps: int, size: int, data_root: Path, out_root: Path):
+def run(steps: int, size: int, data_root: Path, out_root: Path,
+        flagship: bool = False):
     import shutil
 
     from gan_variant_research_tpu.core.config import load_config, override_config
@@ -113,32 +114,42 @@ def run(steps: int, size: int, data_root: Path, out_root: Path):
     # analyze() never mixes two trainings' trajectories
     shutil.rmtree(out_root, ignore_errors=True)
 
-    pdir, mdir = write_dataset(data_root, size=size)
-    warmup = max(1, steps // 3)
+    pdir, mdir = write_dataset(data_root, size=size,
+                               n_photos=300 if flagship else 200,
+                               n_paintings=150 if flagship else 100)
     config = load_config(REPO / "gan_variant_research_tpu" / "configs"
                          / "train_gan_cutpp.yaml")
-    config = override_config(config, [
+    overrides = [
         f"data.photos_dir={pdir}",
         f"data.monet_dir={mdir}",
         f"output.checkpoint_dir={out_root/'ckpt'}",
         f"output.log_dir={out_root/'logs'}",
         f"image_size={size}",
-        "batch_size=16",
         f"max_steps={steps}",
-        f"warmup_steps={warmup}",
-        "model.generator.ngf=32",
-        "model.generator.n_blocks=4",
-        "model.discriminator.ndf=32",
-        "patchnce.num_patches=128",
         "metrics.save_checkpoint_every=100000",
-        "log.every_steps=50",
+        "log.every_steps=25" if flagship else "log.every_steps=50",
         "log.verbose=false",
-    ])
+    ]
+    if flagship:
+        # the UNREDUCED production config (ngf 64, 9 blocks, batch 32,
+        # warmup 20000 — the same static shapes the benchmark compiles), so
+        # the whole run stays in the annealing warm phase
+        overrides += ["batch_size=32"]
+    else:
+        overrides += [
+            "batch_size=16",
+            f"warmup_steps={max(1, steps // 3)}",
+            "model.generator.ngf=32",
+            "model.generator.n_blocks=4",
+            "model.discriminator.ndf=32",
+            "patchnce.num_patches=128",
+        ]
+    config = override_config(config, overrides)
     train_cut(config)
     return config
 
 
-def analyze(log_dir: Path, steps: int, warmup: int) -> dict:
+def analyze(log_dir: Path, steps: int, warmup: int, flagship: bool = False):
     # contract: ``Step N: {json}`` per line (train/loss_tracker.py)
     lines = []
     for raw in (log_dir / "train_log.txt").read_text().splitlines():
@@ -159,10 +170,22 @@ def analyze(log_dir: Path, steps: int, warmup: int) -> dict:
             [by["d_loss"], by["g_loss"], by["nce"]])).all()),
         "nce_decreasing": float(by["nce"][last_q].mean())
                           < 0.85 * float(by["nce"][first_q].mean()),
-        "identity_weight_annealed": float(by["identity_weight"][-1]) <= 1e-4,
         "d_loss_hinge_band": 0.2 <= float(by["d_loss"][last_q].mean()) <= 2.5,
         "g_adv_nonconstant": float(np.std(by["g_loss"])) > 1e-3,
     }
+    if flagship:
+        # production warmup is 20000 steps: over a short run the weight only
+        # anneals linearly — check it tracks 0.1·(1 − step/20000) instead
+        step_last = float(by["step"][-1])
+        expected_w = 0.1 * max(0.0, 1.0 - step_last / 20000.0)
+        checks["identity_weight_tracks_schedule"] = (
+            abs(float(by["identity_weight"][-1]) - expected_w) < 5e-4)
+        checks["identity_l1_decreasing"] = (
+            float(by["identity"][last_q].mean())
+            < float(by["identity"][first_q].mean()))
+    else:
+        checks["identity_weight_annealed"] = (
+            float(by["identity_weight"][-1]) <= 1e-4)
     summary = {
         "steps": int(by["step"][-1]),
         "nce_first_quarter": round(float(by["nce"][first_q].mean()), 4),
@@ -181,12 +204,18 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--workdir", type=str, default="/tmp/convergence_smoke")
+    ap.add_argument("--flagship", action="store_true",
+                    help="run the UNREDUCED production config (256², ngf 64, "
+                         "9 blocks, batch 32, warmup 20000)")
     args = ap.parse_args()
+    if args.flagship:
+        args.size = 256
 
     work = Path(args.workdir)
-    config = run(args.steps, args.size, work / "data", work / "run")
+    config = run(args.steps, args.size, work / "data", work / "run",
+                 flagship=args.flagship)
     summary, by = analyze(Path(config["output"]["log_dir"]), args.steps,
-                          config["warmup_steps"])
+                          config["warmup_steps"], flagship=args.flagship)
 
     import matplotlib
     matplotlib.use("Agg")
@@ -201,24 +230,28 @@ def main():
     axes[2].plot(by["step"], by["identity"], label="identity L1")
     axes[2].plot(by["step"], by["identity_weight"], label="weight (annealed)")
     axes[2].set_title("identity warmup"); axes[2].legend(); axes[2].set_xlabel("step")
-    fig.suptitle(f"CUT convergence smoke — synthetic two-domain, "
+    tag = "flagship" if args.flagship else "smoke"
+    desc = ("FULL production config (ngf 64, 9 blocks, batch 32, warmup "
+            "20000 — the benchmarked model)" if args.flagship else
+            "Reduced CUT config, batch 16 (ngf 32, 4 blocks)")
+    fig.suptitle(f"CUT convergence {tag} — synthetic two-domain, "
                  f"{args.size}² × {summary['steps']} steps")
     fig.tight_layout()
-    png = REPO / "docs" / "convergence_smoke.png"
+    png = REPO / "docs" / f"convergence_{tag}.png"
     fig.savefig(png, dpi=110)
 
-    md = REPO / "docs" / "convergence_smoke.md"
+    md = REPO / "docs" / f"convergence_{tag}.md"
     passed = all(summary["checks"].values())
     md.write_text(
-        "# Convergence smoke (synthetic two-domain CUT run)\n\n"
-        f"Reduced CUT config, {args.size}²×{summary['steps']} steps, batch 16 "
-        f"(ngf 32, 4 blocks), synthetic photo-like vs painting-like domains "
+        f"# Convergence {tag} (synthetic two-domain CUT run)\n\n"
+        f"{desc}, {args.size}²×{summary['steps']} steps, synthetic "
+        f"photo-like vs painting-like domains "
         f"(scripts/convergence_smoke.py). Reference trajectory spec: "
-        f"QUICKSTART_BASELINE.md:38-42 (nce decreasing, identity→0 with its "
-        f"annealed weight, d/g hinge losses O(1)).\n\n"
+        f"QUICKSTART_BASELINE.md:38-42 (nce decreasing, identity tracking "
+        f"its annealed weight, d/g hinge losses O(1)).\n\n"
         f"```json\n{json.dumps(summary, indent=2)}\n```\n\n"
         f"**Result: {'PASS' if passed else 'FAIL'}** — see "
-        f"convergence_smoke.png for the curves.\n"
+        f"{png.name} for the curves.\n"
     )
     print(json.dumps(summary, indent=2))
     print("PASS" if passed else "FAIL")

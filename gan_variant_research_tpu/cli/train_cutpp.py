@@ -44,6 +44,12 @@ def main(argv=None):
     overrides = [kv for group in args.overrides for kv in group]
     config = override_config(config, overrides)
     validate_config(config, CUT_SCHEMA, strict=args.strict_config)
+    # multi-host entry hook — MUST run before anything touches the XLA
+    # backend (jax.distributed.initialize() refuses afterwards); no-op on a
+    # single host (SURVEY.md §5 "Distributed")
+    from gan_variant_research_tpu.parallel import init_distributed
+
+    init_distributed((config.get("parallel") or {}).get("multihost", "auto"))
     import jax
 
     print(f"Using device(s): {jax.devices()}")

@@ -30,6 +30,10 @@ def main(argv=None):
     config = load_config(args.config)
     config = override_config(config, [kv for g in args.overrides for kv in g])
     validate_config(config, CYCLEGAN_SCHEMA, strict=args.strict_config)
+    # multi-host entry hook — must precede any XLA-backend-touching call
+    from gan_variant_research_tpu.parallel import init_distributed
+
+    init_distributed((config.get("parallel") or {}).get("multihost", "auto"))
     train_cyclegan(config)
 
 

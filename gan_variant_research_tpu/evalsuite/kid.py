@@ -45,6 +45,11 @@ def compute_kid(real_feats: np.ndarray, fake_feats: np.ndarray,
     m = min(subset_size, real.shape[0], fake.shape[0])
     if m < 2:
         raise ValueError(f"KID needs ≥2 samples per subset, got {m}")
+    # with no room to subsample, every subset is a permutation of the full
+    # sets and MMD² is permutation-invariant — one iteration suffices and
+    # the reported std is legitimately 0 (no subsampling happened)
+    if m == real.shape[0] and m == fake.shape[0]:
+        subsets = 1
     rng = np.random.default_rng(seed)
     vals = []
     for _ in range(subsets):
@@ -57,7 +62,8 @@ def compute_kid(real_feats: np.ndarray, fake_feats: np.ndarray,
     vals = np.asarray(vals)
     return {
         "kid_mean": float(vals.mean()),
-        "kid_std": float(vals.std()),
+        # sample std (ddof=1) per the torchmetrics convention
+        "kid_std": float(vals.std(ddof=1)) if len(vals) > 1 else 0.0,
         "subsets": int(subsets),
         "subset_size": int(m),
     }

@@ -57,6 +57,10 @@ def init_distributed(enable: bool | str = "auto") -> bool:
 
     if enable is False:
         return False
+    if not (enable is True or enable == "auto"):
+        raise ValueError(
+            f"parallel.multihost must be true, false or 'auto', got {enable!r}"
+        )
     want = enable is True or any(
         k in os.environ
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
@@ -64,9 +68,11 @@ def init_distributed(enable: bool | str = "auto") -> bool:
     )
     if not want:
         return False
-    if jax.process_count() > 1:  # already initialized
-        return True
-    jax.distributed.initialize()
+    # NOTE: must not touch the backend (jax.devices()/process_count()) before
+    # initialize() — that would itself initialize XLA and make initialize()
+    # raise. is_initialized() is safe.
+    if not jax.distributed.is_initialized():
+        jax.distributed.initialize()
     return jax.process_count() > 1
 
 

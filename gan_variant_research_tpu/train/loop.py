@@ -53,11 +53,6 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     tracker = LossTracker(log_dir).start()
     averager = Averager()
 
-    # multi-host entry hook (no-op single-host; SURVEY.md §5 "Distributed")
-    from gan_variant_research_tpu.parallel import init_distributed
-
-    init_distributed((config.get("parallel") or {}).get("multihost", "auto"))
-
     trainer = CUTTrainer(config)
     io_cfg = config.get("io") or {}
     loader = UnpairedLoader(

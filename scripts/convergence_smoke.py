@@ -149,7 +149,8 @@ def run(steps: int, size: int, data_root: Path, out_root: Path,
     return config
 
 
-def analyze(log_dir: Path, steps: int, warmup: int, flagship: bool = False):
+def analyze(log_dir: Path, steps: int, warmup: int, flagship: bool = False,
+            identity_warm: float = 0.1):
     # contract: ``Step N: {json}`` per line (train/loss_tracker.py)
     lines = []
     for raw in (log_dir / "train_log.txt").read_text().splitlines():
@@ -174,10 +175,10 @@ def analyze(log_dir: Path, steps: int, warmup: int, flagship: bool = False):
         "g_adv_nonconstant": float(np.std(by["g_loss"])) > 1e-3,
     }
     if flagship:
-        # production warmup is 20000 steps: over a short run the weight only
-        # anneals linearly — check it tracks 0.1·(1 − step/20000) instead
+        # the production warmup (20k in the shipped YAML) dwarfs a short run:
+        # the weight only anneals linearly — check it tracks the schedule
         step_last = float(by["step"][-1])
-        expected_w = 0.1 * max(0.0, 1.0 - step_last / 20000.0)
+        expected_w = identity_warm * max(0.0, 1.0 - step_last / warmup)
         checks["identity_weight_tracks_schedule"] = (
             abs(float(by["identity_weight"][-1]) - expected_w) < 5e-4)
         checks["identity_l1_decreasing"] = (
@@ -214,8 +215,10 @@ def main():
     work = Path(args.workdir)
     config = run(args.steps, args.size, work / "data", work / "run",
                  flagship=args.flagship)
-    summary, by = analyze(Path(config["output"]["log_dir"]), args.steps,
-                          config["warmup_steps"], flagship=args.flagship)
+    summary, by = analyze(
+        Path(config["output"]["log_dir"]), args.steps, config["warmup_steps"],
+        flagship=args.flagship,
+        identity_warm=config["loss_weights"].get("identity_warm", 0.1))
 
     import matplotlib
     matplotlib.use("Agg")

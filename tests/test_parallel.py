@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -63,3 +64,12 @@ def test_init_distributed_single_host_noop():
     assert init_distributed(False) is False
     assert init_distributed("auto") is False  # no coordinator env here
     assert init_distributed("auto") is False
+
+
+def test_init_distributed_rejects_bad_strings():
+    from gan_variant_research_tpu.parallel import init_distributed
+
+    with pytest.raises(ValueError, match="multihost"):
+        init_distributed("atuo")
+    with pytest.raises(ValueError, match="multihost"):
+        init_distributed("true")  # quoted-string YAML mistake

@@ -124,34 +124,71 @@ def stylize_folder(
         y = generator.apply({"params": params}, x)
         return to_uint8(y)
 
-    written: list[Path] = []
-    for i in range(0, len(paths), batch):
-        chunk = paths[i : i + batch]
-        imgs = []
-        for p in chunk:
-            with Image.open(p) as im:
-                im = im.convert("RGB")
-                if im.size != (size, size):
-                    im = im.resize((size, size), Image.BILINEAR)
-                imgs.append(np.asarray(im, dtype=np.uint8))
-        arr = np.stack(imgs)
-        # pad the final partial batch to the jitted shape
-        pad = 0
-        if arr.shape[0] < batch and i > 0:
-            pad = batch - arr.shape[0]
-            arr = np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), np.uint8)])
+    # three-stage pipeline: decode (thread pool, prefetched) → jitted forward
+    # → JPEG encode/save (thread pool) — the reference's loop is fully serial
+    # (generate_folder.py:237-252); on a multi-core host decode and encode
+    # overlap the device forward
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_img(p):
+        with Image.open(p) as im:
+            im = im.convert("RGB")
+            if im.size != (size, size):
+                im = im.resize((size, size), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)
+
+    decode_pool = ThreadPoolExecutor(max_workers=4)
+    write_pool = ThreadPoolExecutor(max_workers=4)
+    q: queue.Queue = queue.Queue(maxsize=2)
+    _END = object()
+
+    def producer():
+        try:
+            for i in range(0, len(paths), batch):
+                chunk = paths[i : i + batch]
+                arr = np.stack(list(decode_pool.map(load_img, chunk)))
+                pad = 0
+                if arr.shape[0] < batch and i > 0:
+                    pad = batch - arr.shape[0]
+                    arr = np.concatenate(
+                        [arr, np.zeros((pad, *arr.shape[1:]), np.uint8)])
+                q.put((chunk, arr, pad))
+            q.put(_END)
+        except BaseException as e:  # surface decode errors in the main thread
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def save_img(p, img):
+        rel = p.relative_to(photos_dir)
+        dst = (out_dir / rel).with_suffix(".jpg")
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(img, "RGB").save(
+            dst, format="JPEG", quality=quality, subsampling=0, optimize=True
+        )
+        return dst
+
+    write_futures = []
+    done = 0
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        chunk, arr, pad = item
         out = np.asarray(forward(arr))
         if pad:
             out = out[: len(chunk)]
         for p, img in zip(chunk, out):
-            rel = p.relative_to(photos_dir)
-            dst = (out_dir / rel).with_suffix(".jpg")
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            Image.fromarray(img, "RGB").save(
-                dst, format="JPEG", quality=quality, subsampling=0, optimize=True
-            )
-            written.append(dst)
-        print(f"\r{len(written)}/{len(paths)} images", end="", flush=True)
+            write_futures.append(write_pool.submit(save_img, p, img))
+        done += len(chunk)
+        print(f"\r{done}/{len(paths)} images", end="", flush=True)
+    written: list[Path] = [f.result() for f in write_futures]  # order-stable
+    write_pool.shutdown()
+    decode_pool.shutdown()
     print()
 
     if zip_path:

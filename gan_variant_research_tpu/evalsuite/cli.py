@@ -72,10 +72,13 @@ def _banner(step: int, title: str):
 @click.option("--kid", is_flag=True, default=False,
               help="Also compute Kernel Inception Distance (beyond-reference; "
                    "reuses the extracted pool3 features)")
+@click.option("--pr", is_flag=True, default=False,
+              help="Also compute improved precision/recall (k-NN manifolds "
+                   "over the same features; beyond-reference)")
 @click.option("--allow-random-weights", is_flag=True, default=False, hidden=True,
               help="Pipeline tests only: random Inception weights")
 def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
-         img_size, device, cosine_eps, no_cache, inception_weights, kid,
+         img_size, device, cosine_eps, no_cache, inception_weights, kid, pr,
          allow_random_weights):
     """Compute MiFID/FID for a folder of generated images."""
     cfg = load_config(config_path)
@@ -91,6 +94,7 @@ def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
     cfg["cache_dir"] = cfg.get("cache_dir", "cache")
     cfg["inception_weights"] = inception_weights or cfg.get("inception_weights")
     cfg["kid"] = kid or cfg.get("kid", False)
+    cfg["pr"] = pr or cfg.get("pr", False)
     cfg.setdefault("name", Path(cfg["fake_dir"] or "run").name)
     cfg.setdefault("real_mode", "folder")
     if cfg.get("real_mode") != "folder":
@@ -165,6 +169,13 @@ def run_evaluation(cfg: dict, allow_random_weights: bool = False) -> dict:
 
         with timer("KID computation"):
             results["kid"] = compute_kid(
+                results["real_features"], results["fake_features"]
+            )
+    if cfg.get("pr"):
+        from gan_variant_research_tpu.evalsuite.prd import compute_precision_recall
+
+        with timer("Precision/recall computation"):
+            results["precision_recall"] = compute_precision_recall(
                 results["real_features"], results["fake_features"]
             )
 

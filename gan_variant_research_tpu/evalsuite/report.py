@@ -41,6 +41,8 @@ def create_report(
             # only when computed so the default report schema stays identical
             # to the golden sample_report.json layout
             **({"kid": scores["kid"]} if "kid" in scores else {}),
+            **({"precision_recall": scores["precision_recall"]}
+               if "precision_recall" in scores else {}),
         },
         "hashes": hashes,
         "notes": (

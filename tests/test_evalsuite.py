@@ -342,3 +342,41 @@ class TestKID:
                                             "subsets": 100, "subset_size": 50}},
                            {}, {}, {})
         assert r1["scores"]["kid"]["kid_mean"] == 0.01
+
+
+class TestPrecisionRecall:
+    def test_identical_sets_perfect(self, rng):
+        from gan_variant_research_tpu.evalsuite.prd import compute_precision_recall
+
+        x = rng.standard_normal((64, 16))
+        out = compute_precision_recall(x, x.copy())
+        assert out["precision"] == 1.0 and out["recall"] == 1.0
+
+    def test_disjoint_clusters_zero(self, rng):
+        from gan_variant_research_tpu.evalsuite.prd import compute_precision_recall
+
+        a = rng.standard_normal((64, 16))
+        b = rng.standard_normal((64, 16)) + 1000.0
+        out = compute_precision_recall(a, b)
+        assert out["precision"] == 0.0 and out["recall"] == 0.0
+
+    def test_mode_drop_hits_recall_not_precision(self, rng):
+        """Fake covering only one of two real modes: precision stays high
+        (every fake is on a real mode), recall drops toward ~0.5."""
+        from gan_variant_research_tpu.evalsuite.prd import compute_precision_recall
+
+        mode_a = rng.standard_normal((100, 8))
+        mode_b = rng.standard_normal((100, 8)) + 50.0
+        real = np.concatenate([mode_a, mode_b])
+        fake = rng.standard_normal((100, 8)) * 1.0  # only mode A
+        out = compute_precision_recall(real, fake)
+        assert out["precision"] >= 0.75
+        assert out["recall"] < 0.7
+        assert out["precision"] > out["recall"] + 0.2
+
+    def test_too_few_samples_raises(self, rng):
+        from gan_variant_research_tpu.evalsuite.prd import compute_precision_recall
+
+        with pytest.raises(ValueError):
+            compute_precision_recall(rng.standard_normal((3, 4)),
+                                     rng.standard_normal((10, 4)), k=3)

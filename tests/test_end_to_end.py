@@ -120,3 +120,21 @@ def test_generate_without_ema_warns_when_missing(workspace, capsys):
     final = workspace / "ckpts" / "ckpt_final.msgpack"
     generator, params, _ = load_generator_params(final, use_ema=False)
     assert params is not None
+
+
+def test_generate_folder_surfaces_decode_errors(workspace, tmp_path):
+    """A corrupt input image must raise in the caller, not die silently in
+    the decode-prefetch thread (which would truncate the output tree)."""
+    from gan_variant_research_tpu.cli.generate_folder import (
+        load_generator_params,
+        stylize_folder,
+    )
+
+    bad_dir = tmp_path / "photos"
+    bad_dir.mkdir()
+    (bad_dir / "bad.jpg").write_bytes(b"definitely not a jpeg")
+    final = workspace / "ckpts" / "ckpt_final.msgpack"
+    generator, params, _ = load_generator_params(final, use_ema=True)
+    with pytest.raises(Exception):
+        stylize_folder(generator, params, bad_dir, tmp_path / "out",
+                       size=32, batch=4)

@@ -21,9 +21,14 @@ from __future__ import annotations
 import argparse
 import json
 import shutil
+import sys
 from pathlib import Path
 
 import numpy as np
+
+# invocable as `python scripts/select_7k.py` from anywhere: python puts the
+# script's dir on sys.path, not the repo root
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def min_cos_dists(f_fake: np.ndarray, f_real: np.ndarray) -> np.ndarray:

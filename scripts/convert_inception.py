@@ -8,6 +8,10 @@ Usage:
 """
 
 import sys
+from pathlib import Path
+
+# invocable as `python scripts/convert_inception.py` from anywhere
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():

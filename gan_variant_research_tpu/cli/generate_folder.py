@@ -144,9 +144,22 @@ def stylize_folder(
     q: queue.Queue = queue.Queue(maxsize=2)
     _END = object()
 
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for i in range(0, len(paths), batch):
+                if stop.is_set():
+                    return
                 chunk = paths[i : i + batch]
                 arr = np.stack(list(decode_pool.map(load_img, chunk)))
                 pad = 0
@@ -154,10 +167,11 @@ def stylize_folder(
                     pad = batch - arr.shape[0]
                     arr = np.concatenate(
                         [arr, np.zeros((pad, *arr.shape[1:]), np.uint8)])
-                q.put((chunk, arr, pad))
-            q.put(_END)
+                if not put((chunk, arr, pad)):
+                    return
+            put(_END)
         except BaseException as e:  # surface decode errors in the main thread
-            q.put(e)
+            put(e)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -172,23 +186,40 @@ def stylize_folder(
 
     write_futures = []
     done = 0
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        chunk, arr, pad = item
-        out = np.asarray(forward(arr))
-        if pad:
-            out = out[: len(chunk)]
-        for p, img in zip(chunk, out):
-            write_futures.append(write_pool.submit(save_img, p, img))
-        done += len(chunk)
-        print(f"\r{done}/{len(paths)} images", end="", flush=True)
-    written: list[Path] = [f.result() for f in write_futures]  # order-stable
-    write_pool.shutdown()
-    decode_pool.shutdown()
+    reaped = 0
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            chunk, arr, pad = item
+            out = np.asarray(forward(arr))
+            if pad:
+                out = out[: len(chunk)]
+            for p, img in zip(chunk, out):
+                write_futures.append(write_pool.submit(save_img, p, img))
+            # reap already-completed writes so a disk-full/permission error
+            # aborts the run now rather than after every remaining batch has
+            # been decoded and run through the device
+            while reaped < len(write_futures) and write_futures[reaped].done():
+                write_futures[reaped].result()
+                reaped += 1
+            done += len(chunk)
+            print(f"\r{done}/{len(paths)} images", end="", flush=True)
+        written: list[Path] = [f.result() for f in write_futures]  # order-stable
+    finally:
+        # stop and unblock the producer (it may be parked on q.put) so it
+        # exits instead of decoding the rest of the tree after a failure
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        write_pool.shutdown(wait=True)
+        decode_pool.shutdown(wait=False, cancel_futures=True)
     print()
 
     if zip_path:

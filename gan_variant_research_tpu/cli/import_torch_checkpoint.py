@@ -53,9 +53,13 @@ def convert_generator_state_dict(sd: dict, padding_type: str = "reflect") -> dic
     are inferred from the tensor shapes/keys.
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    reflectish = padding_type in ("reflect", "replicate")
-    stem_i = 1 if reflectish else 0
-    c1, c2 = (1, 5) if reflectish else (0, 3)
+    # The reference inserts the stem/head pad module only for 'reflect'
+    # (generator_resnet_attn.py:110-113,157-160: replicate uses the conv's
+    # own padding=3), so the 7×7 convs sit at initial.0/output.0 for both
+    # replicate and zero. ResidualBlock DOES add a pad module for replicate
+    # (:24-28), so the res-block convs stay at indices 1/5 there.
+    stem_i = 1 if padding_type == "reflect" else 0
+    c1, c2 = (1, 5) if padding_type in ("reflect", "replicate") else (0, 3)
 
     params: dict = {}
 

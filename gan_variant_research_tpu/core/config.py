@@ -288,6 +288,10 @@ CYCLEGAN_SCHEMA: dict = {
         "spectral_norm_d": bool,
         "generator": str,  # "resnet" | "unet" (notebook lineage)
     },
-    "runtime": {"device": str, "platform": str, "precision": str},
+    # every runtime key the CycleGAN trainer consumes is representable here
+    # (the schema exists to prevent exactly the silent drift of allowing
+    # fewer keys than the code reads)
+    "runtime": {"device": str, "platform": str, "precision": str,
+                "donate": bool},
     "parallel": {"data_axis": str, "num_devices": int, "multihost": (bool, str)},
 }

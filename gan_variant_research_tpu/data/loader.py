@@ -119,6 +119,7 @@ class UnpairedLoader:
         )
         self._q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         self._stop = threading.Event()
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
@@ -146,7 +147,11 @@ class UnpairedLoader:
                         continue
         except BaseException as e:
             # surface decode/staging errors in the consumer instead of dying
-            # silently here (which would hang __next__ forever)
+            # silently here (which would hang __next__ forever); the sticky
+            # self._error keeps re-raising on EVERY later __next__ — the
+            # queued copy is delivered exactly once, so a caller that catches
+            # and retries (or a second consumer) must not block forever
+            self._error = e
             while not self._stop.is_set():
                 try:
                     self._q.put(e, timeout=0.5)
@@ -158,6 +163,8 @@ class UnpairedLoader:
         return self
 
     def __next__(self):
+        if self._error is not None:
+            raise self._error
         item = self._q.get()
         if isinstance(item, BaseException):
             raise item

@@ -76,6 +76,37 @@ def init_distributed(enable: bool | str = "auto") -> bool:
     return jax.process_count() > 1
 
 
+def validate_donation(donate: bool) -> bool:
+    """Gate ``runtime.donate`` on backends where it is measured-broken.
+
+    Donating the train-state buffers halves peak HBM, but (measured in
+    round 2, docs/PERF.md "lever audit"): the XLA **CPU** backend deadlocks
+    its collective rendezvous when donation meets GSPMD sharding, and the
+    **axon**-tunneled TPU fails executions with an async InvalidArgument.
+    Rather than parse silently and fail later (or never — the knob used to
+    be an unverifiable no-op promise), raise here with the reason so the
+    config surface stays honest. Returns ``donate`` unchanged on healthy
+    backends (a real TPU VM).
+    """
+    if not donate:
+        return False
+    import os
+
+    platform = jax.devices()[0].platform.lower()
+    via_axon = "axon" in (os.environ.get("JAX_PLATFORMS") or "").lower()
+    if platform == "cpu" or via_axon:
+        which = "the axon-tunneled TPU" if via_axon else "the XLA CPU backend"
+        why = ("async InvalidArgument on execute" if via_axon
+               else "collective-rendezvous deadlock under GSPMD sharding")
+        raise RuntimeError(
+            f"runtime.donate=true is not supported on {which} ({why}, "
+            "measured round 2 — docs/PERF.md). Donation is also speed-neutral "
+            "here (240 ms/step both ways); it only buys peak-HBM headroom on "
+            "a real multi-chip TPU VM. Set runtime.donate=false."
+        )
+    return True
+
+
 def create_mesh(
     num_devices: int | None = None,
     data_axis: str = DATA_AXIS,

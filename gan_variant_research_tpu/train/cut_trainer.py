@@ -151,12 +151,12 @@ class CUTTrainer:
         if self.d_real_domain not in ("photo", "monet"):
             raise ValueError(f"runtime.d_real_domain must be photo|monet, got {self.d_real_domain}")
 
-        # Donating the state buffers halves peak HBM, but it is broken on
-        # both backends available here: the XLA CPU backend deadlocks its
-        # collective rendezvous when donation meets GSPMD sharding, and the
-        # axon TPU tunnel fails executions with an async InvalidArgument.
-        # Default OFF; set runtime.donate=true on a real multi-chip TPU VM.
-        donate = bool(runtime.get("donate", False))
+        # Donation halves peak HBM on a real TPU VM; validate_donation raises
+        # with the measured reason on the backends where it is known-broken
+        # (XLA CPU, the axon tunnel) instead of failing later.
+        from gan_variant_research_tpu.parallel.mesh import validate_donation
+
+        donate = validate_donation(bool(runtime.get("donate", False)))
         rep = self.mesh.replicated()
         batch_sh = self.mesh.batch_sharding(4)
         # do_r1 / do_identity are STATIC: the host decides them from the step
@@ -503,8 +503,13 @@ class CUTTrainer:
 
     # ------------------------------------------------------------------ #
 
-    def generate(self, params, images, use_ema: bool = True):
-        """Inference forward (bf16) on preprocessed [−1,1] images."""
+    def generate(self, state: CUTTrainState, images, use_ema: bool = True):
+        """Inference forward (bf16) on preprocessed [−1,1] images.
+
+        ``use_ema`` selects the EMA shadow (the inference default, matching
+        the reference's EMA-first restore, generate_folder.py:127-167) vs the
+        raw generator params."""
+        params = state.ema if use_ema else state.g_params
         return self.generator.apply({"params": params}, images)
 
     def checkpoint_payload(self, state: CUTTrainState) -> dict:

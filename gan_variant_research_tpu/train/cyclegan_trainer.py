@@ -129,8 +129,10 @@ class CycleGANTrainer:
             raise ValueError(f"loss.gan must be lsgan|bce, got {self.gan_mode}")
 
         runtime = config.get("runtime") or {}
-        # see CUTTrainer: donation is broken on both available backends
-        donate = bool(runtime.get("donate", False))
+        # raises on the backends where donation is measured-broken
+        from gan_variant_research_tpu.parallel.mesh import validate_donation
+
+        donate = validate_donation(bool(runtime.get("donate", False)))
         rep = self.mesh.replicated()
         bsh = self.mesh.batch_sharding(4)
         self.train_step = jax.jit(

@@ -81,5 +81,11 @@ def test_loader_propagates_decode_errors(tmp_path):
     try:
         with pytest.raises(Exception):
             next(loader)
+        # the error is sticky: a caller that catches and retries (or a second
+        # consumer) re-raises instead of blocking forever on the drained queue
+        # (ADVICE r2 low: the queued copy is delivered exactly once)
+        for _ in range(3):
+            with pytest.raises(Exception):
+                next(loader)
     finally:
         loader.close()

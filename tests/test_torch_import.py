@@ -26,31 +26,43 @@ from gan_variant_research_tpu.core.precision import Policy  # noqa: E402
 from gan_variant_research_tpu.train.cut_trainer import build_generator  # noqa: E402
 
 
-def _res_block(ch):
+def _pad1(padding_type):
+    return nn.ReflectionPad2d(1) if padding_type == "reflect" else nn.ReplicationPad2d(1)
+
+
+def _res_block(ch, padding_type="reflect"):
+    # the reference ResidualBlock adds a pad module for BOTH reflect and
+    # replicate (generator_resnet_attn.py:23-28), so convs sit at 1 and 5
     return nn.Sequential(
-        nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3), nn.InstanceNorm2d(ch),
+        _pad1(padding_type), nn.Conv2d(ch, ch, 3), nn.InstanceNorm2d(ch),
         nn.ReLU(True),
-        nn.ReflectionPad2d(1), nn.Conv2d(ch, ch, 3), nn.InstanceNorm2d(ch),
+        _pad1(padding_type), nn.Conv2d(ch, ch, 3), nn.InstanceNorm2d(ch),
     )
 
 
 class _Block(nn.Module):
-    def __init__(self, ch):
+    def __init__(self, ch, padding_type="reflect"):
         super().__init__()
-        self.conv_block = _res_block(ch)
+        self.conv_block = _res_block(ch, padding_type)
 
     def forward(self, x):
         return x + self.conv_block(x)
 
 
 class TorchRefGenerator(nn.Module):
-    """Reference module layout (reflect padding, instance norm, biased convs)."""
+    """Reference module layout (reflect/replicate padding, instance norm,
+    biased convs). For replicate the stem/head Sequentials have NO pad module
+    — the reference only inserts one for reflect and falls back to the conv's
+    own zero padding=3 (generator_resnet_attn.py:110-113,157-160)."""
 
-    def __init__(self, ngf=8, n_blocks=2, n_down=2):
+    def __init__(self, ngf=8, n_blocks=2, n_down=2, padding_type="reflect"):
         super().__init__()
+        if padding_type == "reflect":
+            stem = [nn.ReflectionPad2d(3), nn.Conv2d(3, ngf, 7)]
+        else:
+            stem = [nn.Conv2d(3, ngf, 7, padding=3)]
         self.initial = nn.Sequential(
-            nn.ReflectionPad2d(3), nn.Conv2d(3, ngf, 7),
-            nn.InstanceNorm2d(ngf), nn.ReLU(True),
+            *stem, nn.InstanceNorm2d(ngf), nn.ReLU(True),
         )
         down = []
         for i in range(n_down):
@@ -59,7 +71,8 @@ class TorchRefGenerator(nn.Module):
                      nn.InstanceNorm2d(ngf * m * 2), nn.ReLU(True)]
         self.downsample = nn.Sequential(*down)
         ch = ngf * 2 ** n_down
-        self.res_blocks = nn.ModuleList([_Block(ch) for _ in range(n_blocks)])
+        self.res_blocks = nn.ModuleList(
+            [_Block(ch, padding_type) for _ in range(n_blocks)])
         up = []
         for i in range(n_down):
             m = 2 ** (n_down - i)
@@ -67,9 +80,11 @@ class TorchRefGenerator(nn.Module):
                                       padding=1, output_padding=1),
                    nn.InstanceNorm2d(ngf * m // 2), nn.ReLU(True)]
         self.upsample = nn.Sequential(*up)
-        self.output = nn.Sequential(
-            nn.ReflectionPad2d(3), nn.Conv2d(ngf, 3, 7), nn.Tanh(),
-        )
+        if padding_type == "reflect":
+            head = [nn.ReflectionPad2d(3), nn.Conv2d(ngf, 3, 7)]
+        else:
+            head = [nn.Conv2d(ngf, 3, 7, padding=3)]
+        self.output = nn.Sequential(*head, nn.Tanh())
 
     def forward(self, x):
         x = self.initial(x)
@@ -95,6 +110,31 @@ def test_forward_parity_through_converter(torch_gen, rng):
     x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
     with torch.no_grad():
         y_t = torch_gen(torch.from_numpy(x).permute(0, 3, 1, 2))
+    y_t = y_t.permute(0, 2, 3, 1).numpy()
+
+    generator = build_generator(gen_cfg, Policy(compute_dtype=jnp.float32))
+    y_j = np.asarray(generator.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-5, rtol=1e-4)
+
+
+def test_replicate_layout_forward_parity(rng):
+    """--padding replicate checkpoints have the 7×7 convs at initial.0 /
+    output.0 (no pad module in the stem/head Sequentials) while the res-block
+    convs stay at conv_block.1/5 — the exact layout mix that used to crash
+    the importer with KeyError 'initial.1.weight' (ADVICE r2, medium)."""
+    torch.manual_seed(1)
+    tg = TorchRefGenerator(padding_type="replicate").eval()
+    sd = tg.state_dict()
+    assert "initial.0.weight" in sd and "initial.1.weight" not in sd
+    assert "res_blocks.0.conv_block.1.weight" in sd
+
+    params = convert_generator_state_dict(sd, padding_type="replicate")
+    gen_cfg = generator_config_from_params(params, padding_type="replicate")
+    assert gen_cfg["padding_type"] == "replicate"
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        y_t = tg(torch.from_numpy(x).permute(0, 3, 1, 2))
     y_t = y_t.permute(0, 2, 3, 1).numpy()
 
     generator = build_generator(gen_cfg, Policy(compute_dtype=jnp.float32))

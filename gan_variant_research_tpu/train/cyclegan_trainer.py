@@ -188,11 +188,43 @@ class CycleGANTrainer:
             return self.discriminator.apply(variables, x), spectral
         return self.discriminator.apply(variables, x), spectral
 
-    def _train_step(self, state: CycleGANTrainState, a_u8, b_u8):
-        cfg = self.config
-        loss_cfg = cfg.get("loss") or {}
+    def _g_loss(self, g_params, state, real_A, real_B):
+        """Joint generator loss (train.py:72-97), batched form — see the
+        comment at the call site in :meth:`_train_step`."""
+        loss_cfg = self.config.get("loss") or {}
         lam_cyc = float(loss_cfg.get("lambda_cycle", 10.0))
         lam_id = float(loss_cfg.get("lambda_identity", 0.5))
+
+        nb = real_A.shape[0]
+        out_ab = self._apply_g(
+            g_params["G_A2B"], jnp.concatenate([real_A, real_B], axis=0)
+        )
+        fake_B, idt_B = out_ab[:nb], out_ab[nb:]
+        out_ba = self._apply_g(
+            g_params["G_B2A"],
+            jnp.concatenate(
+                [real_B, real_A, fake_B.astype(real_B.dtype)], axis=0
+            ),
+        )
+        fake_A, idt_A, rec_A = out_ba[:nb], out_ba[nb:2 * nb], out_ba[2 * nb:]
+        rec_B = self._apply_g(g_params["G_A2B"], fake_A)
+
+        pred_B, _ = self._apply_d(state.db_params, state.db_spectral, fake_B)
+        pred_A, _ = self._apply_d(state.da_params, state.da_spectral, fake_A)
+        loss_adv = gan_loss(pred_B, True, self.gan_mode) + gan_loss(
+            pred_A, True, self.gan_mode
+        )
+        loss_cyc = cycle_loss(rec_A, real_A, lam_cyc) + cycle_loss(
+            rec_B, real_B, lam_cyc
+        )
+        loss_id = lam_id * (
+            identity_loss(idt_A, real_A) + identity_loss(idt_B, real_B)
+        )
+        total = loss_adv + loss_cyc + loss_id
+        return total, (fake_A, fake_B, loss_adv, loss_cyc, loss_id)
+
+    def _train_step(self, state: CycleGANTrainState, a_u8, b_u8):
+        cfg = self.config
         crop = int(cfg["data"].get("img_size", 256))
 
         keys = step_keys(state.base_key, state.step, ("aug_a", "aug_b"))
@@ -200,30 +232,21 @@ class CycleGANTrainer:
         real_B = cyclegan_augment(keys["aug_b"], b_u8, crop)
 
         # ---- G joint update (train.py:72-97) ----
-        def g_loss_fn(g_params):
-            fake_B = self._apply_g(g_params["G_A2B"], real_A)
-            rec_A = self._apply_g(g_params["G_B2A"], fake_B)
-            fake_A = self._apply_g(g_params["G_B2A"], real_B)
-            rec_B = self._apply_g(g_params["G_A2B"], fake_A)
-            idt_B = self._apply_g(g_params["G_A2B"], real_B)
-            idt_A = self._apply_g(g_params["G_B2A"], real_A)
-
-            pred_B, _ = self._apply_d(state.db_params, state.db_spectral, fake_B)
-            pred_A, _ = self._apply_d(state.da_params, state.da_spectral, fake_A)
-            loss_adv = gan_loss(pred_B, True, self.gan_mode) + gan_loss(
-                pred_A, True, self.gan_mode
-            )
-            loss_cyc = cycle_loss(rec_A, real_A, lam_cyc) + cycle_loss(
-                rec_B, real_B, lam_cyc
-            )
-            loss_id = lam_id * (
-                identity_loss(idt_A, real_A) + identity_loss(idt_B, real_B)
-            )
-            total = loss_adv + loss_cyc + loss_id
-            return total, (fake_A, fake_B, loss_adv, loss_cyc, loss_id)
-
+        # The reference runs SIX sequential generator applies (fake_B, rec_A,
+        # fake_A, rec_B, idt_B, idt_A — train.py:72-93); at its batch-1
+        # regime each one is a 1-sample conv stack that badly underfeeds the
+        # MXU. Both generators are per-sample networks (convs + instance
+        # norm, no cross-batch coupling), so batching along the leading axis
+        # is EXACT: the same three outputs come from three applies —
+        #   G_A2B(concat(real_A, real_B))            → fake_B, idt_B
+        #   G_B2A(concat(real_B, real_A, fake_B))    → fake_A, idt_A, rec_A
+        #   G_A2B(fake_A)                            → rec_B
+        # — gradient-identical to the sequential form (the loss is the same
+        # function of the same leaves; see test_batched_g_matches_sequential).
         (loss_G, (fake_A, fake_B, loss_adv, loss_cyc, loss_id)), g_grads = (
-            jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+            jax.value_and_grad(self._g_loss, has_aux=True)(
+                state.g_params, state, real_A, real_B
+            )
         )
         g_upd, opt_g = self.opt_g.update(g_grads, state.opt_g, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_upd)

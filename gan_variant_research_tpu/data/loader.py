@@ -60,8 +60,13 @@ class ImageFolderSource:
 
 
 class _EpochStream:
-    """Infinite stream of decoded batches: reshuffles indices per epoch,
-    drop_last=True (matching the reference loaders, train_cutpp.py:139-157)."""
+    """Infinite stream of GLOBAL batch indices: reshuffles per epoch,
+    drop_last=True (matching the reference loaders, train_cutpp.py:139-157).
+
+    The index sequence is a pure function of (seed, len(source), batch_size)
+    — every process of a multi-host run computes the identical global order
+    and decodes only its slice, and ``skip(n)`` fast-forwards the stream
+    without decoding (deterministic resume)."""
 
     def __init__(self, source: ImageFolderSource, batch_size: int, seed: int,
                  pool: ThreadPoolExecutor):
@@ -72,7 +77,7 @@ class _EpochStream:
         self._order: list[int] = []
         self._pos = 0
 
-    def _next_indices(self) -> list[int]:
+    def next_indices(self) -> list[int]:
         if self._pos + self.batch_size > len(self._order):
             self._order = self.rng.permutation(len(self.source)).tolist()
             self._pos = 0
@@ -80,10 +85,17 @@ class _EpochStream:
         self._pos += self.batch_size
         return idx
 
-    def next_batch(self) -> np.ndarray:
-        idx = self._next_indices()
+    def skip(self, n: int) -> None:
+        """Advance the index stream by n batches (no decode)."""
+        for _ in range(n):
+            self.next_indices()
+
+    def decode(self, idx: list[int]) -> np.ndarray:
         imgs = list(self.pool.map(self.source.get, idx))
         return np.stack(imgs, axis=0)
+
+    def next_batch(self) -> np.ndarray:
+        return self.decode(self.next_indices())
 
 
 class UnpairedLoader:
@@ -91,6 +103,20 @@ class UnpairedLoader:
 
     ``__next__`` yields (photos_u8, monets_u8) uint8 NHWC batches. A
     producer thread keeps ``prefetch`` batches decoded ahead of the step.
+
+    Multi-host DP (SURVEY.md §2.4/§5 "per-host data sharding"):
+    ``batch_size`` is always the GLOBAL batch. With ``process_bounds=(lo,
+    hi)`` (from ``parallel.mesh.process_batch_bounds``) each process decodes
+    only rows [lo, hi) of the shared global index order — the order is a
+    pure function of the seed, so all hosts agree on it without
+    communication, and the slices are disjoint by construction (no fold of
+    ``process_index`` into the seed: that would give every host a DIFFERENT
+    global order instead of a distinct slice of the same one, breaking
+    single-process trajectory equivalence). The staged batch is assembled
+    into one global jax.Array from per-device local transfers (see _stage).
+
+    ``start_step`` fast-forwards both index streams (no decode) so a resumed
+    run consumes exactly the batches an uninterrupted run would have seen.
     """
 
     def __init__(
@@ -103,13 +129,26 @@ class UnpairedLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         device_sharding=None,
+        process_bounds: tuple[int, int] | None = None,
+        start_step: int = 0,
     ):
         # With ``device_sharding`` (a jax.sharding.Sharding) the producer
         # thread stages each batch on device ahead of the step, so the H2D
         # copy overlaps decode/compute instead of serializing inside the jit
-        # dispatch — measured 240 ms vs 785-2200 ms/step at batch 32×256² on
+        # dispatch — measured 240 vs 785-2200 ms/step at batch 32×256² on
         # the tunneled v5e when the step had to pull numpy args itself.
         self.device_sharding = device_sharding
+        self.global_batch = batch_size
+        lo, hi = process_bounds if process_bounds is not None else (0, batch_size)
+        if not (0 <= lo < hi <= batch_size):
+            raise ValueError(f"process_bounds {lo, hi} outside batch {batch_size}")
+        self._bounds = (lo, hi)
+        self._multiprocess = (hi - lo) != batch_size
+        if self._multiprocess and device_sharding is None:
+            raise ValueError(
+                "Multi-host loading (process_bounds a strict slice) requires "
+                "device_sharding to assemble the global array"
+            )
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.photos = _EpochStream(
             ImageFolderSource(photos_dir, size), batch_size, seed, self.pool
@@ -117,6 +156,9 @@ class UnpairedLoader:
         self.monets = _EpochStream(
             ImageFolderSource(monet_dir, size), batch_size, seed + 1, self.pool
         )
+        if start_step:
+            self.photos.skip(start_step)
+            self.monets.skip(start_step)
         self._q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         self._stop = threading.Event()
         self._error: BaseException | None = None
@@ -131,14 +173,49 @@ class UnpairedLoader:
     def num_monets(self):
         return len(self.monets.source)
 
+    def _stage(self, local_p: np.ndarray, local_m: np.ndarray):
+        import jax
+
+        if not self._multiprocess:
+            return jax.device_put((local_p, local_m), self.device_sharding)
+
+        # Assemble the global array from per-device local transfers +
+        # metadata (make_array_from_single_device_arrays). Deliberately NOT
+        # make_array_from_process_local_data: that helper may insert a
+        # collective reshard, and THIS runs on the producer thread —
+        # collectives issued from a second thread interleave with the main
+        # thread's step collectives in a different order on each process,
+        # which deadlocks the backend's communicator setup (measured: flaky
+        # 30 s gloo context-init timeouts). This path is pure local
+        # device_puts, so it is thread-safe by construction.
+        def assemble(x):
+            gshape = (self.global_batch, *x.shape[1:])
+            lo = self._bounds[0]
+            imap = self.device_sharding.addressable_devices_indices_map(gshape)
+            shards = [
+                jax.device_put(
+                    x[(idx[0].start or 0) - lo:
+                      (gshape[0] if idx[0].stop is None else idx[0].stop) - lo],
+                    d,
+                )
+                for d, idx in imap.items()
+            ]
+            return jax.make_array_from_single_device_arrays(
+                gshape, self.device_sharding, shards
+            )
+
+        return assemble(local_p), assemble(local_m)
+
     def _produce(self):
+        lo, hi = self._bounds
         try:
             while not self._stop.is_set():
-                batch = (self.photos.next_batch(), self.monets.next_batch())
+                # every process draws the same GLOBAL indices, decodes its slice
+                idx_p = self.photos.next_indices()[lo:hi]
+                idx_m = self.monets.next_indices()[lo:hi]
+                batch = (self.photos.decode(idx_p), self.monets.decode(idx_m))
                 if self.device_sharding is not None:
-                    import jax
-
-                    batch = jax.device_put(batch, self.device_sharding)
+                    batch = self._stage(*batch)
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.5)

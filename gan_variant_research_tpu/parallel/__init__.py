@@ -11,6 +11,8 @@ from gan_variant_research_tpu.parallel.mesh import (
     MeshContext,
     create_mesh,
     init_distributed,
+    process_batch_bounds,
+    validate_donation,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -22,6 +24,8 @@ __all__ = [
     "MeshContext",
     "create_mesh",
     "init_distributed",
+    "process_batch_bounds",
+    "validate_donation",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -49,9 +49,11 @@ def init_distributed(enable: bool | str = "auto") -> bool:
     coordinator environment is present (Cloud TPU pods export it; JAX
     auto-detects its own coordinates there), so single-host runs — and this
     repo's tests — are untouched. After initialization ``jax.devices()`` is
-    global, which is exactly what ``create_mesh`` consumes; note the data
-    loaders feed the full global batch from every host, so multi-host DP
-    additionally wants per-host input sharding (documented limitation).
+    global, which is exactly what ``create_mesh`` consumes. The input
+    pipeline is multi-host-aware: each process decodes only its
+    ``process_batch_bounds`` slice of the global batch and assembles the
+    global array via ``jax.make_array_from_process_local_data``
+    (data/loader.py), so every host sees distinct data.
     """
     import os
 
@@ -74,6 +76,37 @@ def init_distributed(enable: bool | str = "auto") -> bool:
     if not jax.distributed.is_initialized():
         jax.distributed.initialize()
     return jax.process_count() > 1
+
+
+def process_batch_bounds(ctx: MeshContext, global_batch: int) -> tuple[int, int]:
+    """[lo, hi) rows of a batch-sharded global array owned by THIS process.
+
+    Derived from the sharding itself (``devices_indices_map``), not from an
+    assumed device ordering, so it stays correct for any process→device
+    layout. The loaders decode exactly this slice and hand it to
+    ``jax.make_array_from_process_local_data``; single-process this is the
+    full batch, so one code path serves both. The per-process rows must be
+    contiguous (true for a 1-D data mesh built over ``jax.devices()``, whose
+    order groups devices by process).
+    """
+    sharding = ctx.batch_sharding(1)
+    imap = sharding.devices_indices_map((global_batch,))
+    bounds = sorted(
+        (idx[0].start or 0,
+         global_batch if idx[0].stop is None else idx[0].stop)
+        for d, idx in imap.items() if d.process_index == jax.process_index()
+    )
+    if not bounds:
+        raise RuntimeError("This process owns no shard of the batch axis")
+    lo, hi = bounds[0][0], bounds[-1][1]
+    for (a0, a1), (b0, b1) in zip(bounds, bounds[1:]):
+        if a1 != b0:
+            raise RuntimeError(
+                f"Non-contiguous per-process batch rows {bounds}; the data "
+                "mesh must keep each process's devices adjacent on the batch "
+                "axis for sliced host loading"
+            )
+    return lo, hi
 
 
 def validate_donation(donate: bool) -> bool:

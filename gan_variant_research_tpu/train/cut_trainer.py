@@ -34,6 +34,7 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from gan_variant_research_tpu.core.precision import Policy, policy_from_config
@@ -528,11 +529,13 @@ class CUTTrainer:
     def state_from_payload(self, payload: dict, step: int) -> CUTTrainState:
         template = self.init_state()
         restored = flax_restore(template, payload, step)
-        return jax.device_put(restored, self.mesh.replicated())
+        return replicate_state(restored, self.mesh)
 
 
 def flax_restore(template: CUTTrainState, payload: dict, step: int) -> CUTTrainState:
-    """Rebuild a train state from a checkpoint payload dict."""
+    """Rebuild a train state from a checkpoint payload dict (host leaves;
+    the PRNG key is carried as raw uint32 key data until replicate_state
+    wraps it on device)."""
     import flax.serialization as ser
 
     def like(target, data):
@@ -546,5 +549,23 @@ def flax_restore(template: CUTTrainState, payload: dict, step: int) -> CUTTrainS
         opt_g=like(template.opt_g, payload["opt_G"]),
         opt_d=like(template.opt_d, payload["opt_D"]),
         ema=like(template.ema, payload["ema_G"]["shadow"]),
-        base_key=jax.random.wrap_key_data(jnp.asarray(payload["base_key"])),
+        base_key=np.asarray(payload["base_key"]),
     )
+
+
+def replicate_state(state, mesh: MeshContext):
+    """Place a restored (host-leaf) train state on the mesh, replicated.
+
+    A jitted identity rather than ``jax.device_put(state, replicated)``:
+    device_put rejects shardings that span non-addressable devices, so the
+    direct put breaks exactly in the multi-host case resume must support
+    (every process holds the identical host data, which is what makes the
+    jit-input-as-replicated contract valid). The raw uint32 key data rides
+    through the jit and is wrapped back into a typed PRNG key inside."""
+    from functools import partial as _partial
+
+    @_partial(jax.jit, out_shardings=mesh.replicated())
+    def _rep(tree):
+        return tree.replace(base_key=jax.random.wrap_key_data(tree.base_key))
+
+    return _rep(state)

@@ -18,9 +18,18 @@ from gan_variant_research_tpu.train.loss_tracker import Averager
 
 
 def train_cyclegan(config: dict, max_steps_override: int | None = None):
+    import jax
+
+    from gan_variant_research_tpu.data.folders import list_images
+    from gan_variant_research_tpu.parallel.mesh import process_batch_bounds
+
     data_cfg = config["data"]
     t_cfg = config["training"]
     root = Path(data_cfg["root"])
+    n_a = len(list_images(root / data_cfg["domain_a"]))
+    n_b = len(list_images(root / data_cfg["domain_b"]))
+    steps_per_epoch = max(n_a, n_b) // t_cfg["batch_size"]
+    trainer = CycleGANTrainer(config, steps_per_epoch=steps_per_epoch)
     loader = UnpairedLoader(
         root / data_cfg["domain_a"],
         root / data_cfg["domain_b"],
@@ -28,13 +37,16 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
         size=data_cfg.get("load_size", 286),
         seed=t_cfg.get("seed", 0),
         num_workers=data_cfg.get("num_workers", 4),
+        # same staging + per-host slicing as the CUT loop (train/loop.py)
+        device_sharding=trainer.mesh.batch_sharding(4),
+        process_bounds=process_batch_bounds(trainer.mesh, t_cfg["batch_size"]),
     )
-    steps_per_epoch = max(loader.num_photos, loader.num_monets) // t_cfg["batch_size"]
-    trainer = CycleGANTrainer(config, steps_per_epoch=steps_per_epoch)
     state = trainer.init_state()
 
+    is_main = jax.process_index() == 0
     save_dir = Path(t_cfg["save_dir"])
-    save_dir.mkdir(parents=True, exist_ok=True)
+    if is_main:
+        save_dir.mkdir(parents=True, exist_ok=True)
 
     total_epochs = t_cfg["epochs"]
     max_steps = max_steps_override or t_cfg.get("max_steps") or (
@@ -56,15 +68,16 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
                 epoch = step // max(1, steps_per_epoch)
                 avg = averager.averages()
                 rate = step * t_cfg["batch_size"] / (time.perf_counter() - t0)
-                print(
-                    f"Epoch {epoch}/{total_epochs} "
-                    + " | ".join(f"{k}: {v:.3f}" for k, v in avg.items())
-                    + f" | {rate:.1f} img/s"
-                )
+                if is_main:
+                    print(
+                        f"Epoch {epoch}/{total_epochs} "
+                        + " | ".join(f"{k}: {v:.3f}" for k, v in avg.items())
+                        + f" | {rate:.1f} img/s"
+                    )
                 averager.clear()
                 if any(not np.isfinite(v) for v in avg.values()):
                     raise ValueError(f"NaN loss at epoch {epoch}: {avg}")
-                if epoch % save_every == 0 or step == max_steps:
+                if (epoch % save_every == 0 or step == max_steps) and is_main:
                     path = save_dir / f"ckpt_e{epoch}.msgpack"
                     save_checkpoint(
                         path, int(state.step), trainer.checkpoint_payload(state),

@@ -311,6 +311,9 @@ class CycleGANTrainer:
 
     def state_from_payload(self, payload: dict, step: int) -> CycleGANTrainState:
         import flax.serialization as ser
+        import numpy as np
+
+        from gan_variant_research_tpu.train.cut_trainer import replicate_state
 
         template = self.init_state()
         like = lambda t, d: ser.from_state_dict(t, d)
@@ -327,6 +330,7 @@ class CycleGANTrainer:
             opt_g=like(template.opt_g, payload["optim_G"]),
             opt_da=like(template.opt_da, payload["optim_D_A"]),
             opt_db=like(template.opt_db, payload["optim_D_B"]),
-            base_key=jax.random.wrap_key_data(jnp.asarray(payload["base_key"])),
+            base_key=np.asarray(payload["base_key"]),
         )
-        return jax.device_put(restored, self.mesh.replicated())
+        # multi-host-safe replicated placement (see cut_trainer.replicate_state)
+        return replicate_state(restored, self.mesh)

@@ -44,16 +44,39 @@ def _check_finite(step: int, losses: dict):
 
 def train_cut(config: dict, resume: str | None = None, max_steps_override: int | None = None):
     """Run CUT training; returns (final state, trainer)."""
+    from gan_variant_research_tpu.parallel.mesh import process_batch_bounds
+
     out_cfg = config["output"]
     ckpt_dir = Path(out_cfg["checkpoint_dir"])
     log_dir = Path(out_cfg["log_dir"])
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
-    log_dir.mkdir(parents=True, exist_ok=True)
+    # in a multi-process run only process 0 touches the filesystem (logs,
+    # checkpoints, plots); every process computes the identical replicated
+    # state, so nothing is lost
+    is_main = jax.process_index() == 0
+    if is_main:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        log_dir.mkdir(parents=True, exist_ok=True)
 
-    tracker = LossTracker(log_dir).start()
+    tracker = LossTracker(log_dir).start() if is_main else None
     averager = Averager()
 
     trainer = CUTTrainer(config)
+
+    # resolve the resume point BEFORE building the loader: the index streams
+    # are fast-forwarded by start_step so the resumed run consumes exactly
+    # the batches the uninterrupted run would have (deterministic resume —
+    # the reference loses iterator position, train_cutpp.py:392-397)
+    start_step = 0
+    resume_blob = None
+    if resume:
+        path = latest_checkpoint(ckpt_dir) if resume == "auto" else resume
+        if resume == "auto" and path is None:
+            print("No checkpoint found for auto-resume; starting fresh")
+        elif path is not None:
+            resume_blob = load_checkpoint(path)
+            start_step = resume_blob["step"]
+            print(f"Resuming from step {start_step} ({path})")
+
     io_cfg = config.get("io") or {}
     loader = UnpairedLoader(
         config["data"]["photos_dir"],
@@ -66,23 +89,21 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
         # stage batches on device from the prefetch thread: the H2D copy
         # overlaps compute instead of serializing inside the jit dispatch
         device_sharding=trainer.mesh.batch_sharding(4),
+        # each process decodes only its slice of the global batch
+        process_bounds=process_batch_bounds(trainer.mesh, config["batch_size"]),
+        start_step=start_step,
     )
-    print(f"Photos: {loader.num_photos}, Monet: {loader.num_monets}")
+    if is_main:
+        print(f"Photos: {loader.num_photos}, Monet: {loader.num_monets}")
 
-    state = trainer.init_state()
+    if resume_blob is not None:
+        state = trainer.state_from_payload(resume_blob["payload"],
+                                           resume_blob["step"])
+    else:
+        state = trainer.init_state()
     n_g = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(state.g_params))
-    print(f"Generator parameters: {int(n_g):,}")
-
-    start_step = 0
-    if resume:
-        path = latest_checkpoint(ckpt_dir) if resume == "auto" else resume
-        if resume == "auto" and path is None:
-            print("No checkpoint found for auto-resume; starting fresh")
-        elif path is not None:
-            blob = load_checkpoint(path)
-            state = trainer.state_from_payload(blob["payload"], blob["step"])
-            start_step = blob["step"]
-            print(f"Resumed from step {start_step} ({path})")
+    if is_main:
+        print(f"Generator parameters: {int(n_g):,}")
 
     max_steps = max_steps_override or config.get("max_steps")
     if not max_steps:
@@ -106,6 +127,13 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     # latency; exactly equivalent to K single steps)
     runtime_cfg = config.get("runtime") or {}
     steps_per_call = int(runtime_cfg.get("steps_per_call", 1))
+    if steps_per_call > 1 and jax.process_count() > 1:
+        # the window path stacks K batches with a host-side jnp.stack, which
+        # requires fully-addressable arrays — not true of multi-host global
+        # batches. The window is a dispatch-latency amortization (worth ~0 on
+        # a pod where steps are dispatched ahead anyway), so fall back.
+        print("runtime.steps_per_call>1 is single-host only; using 1")
+        steps_per_call = 1
     # capture a jax.profiler trace of steps [10, 20) when configured
     profile_dir = runtime_cfg.get("profile_dir")
     profile_span = (start_step + 10, start_step + 20)
@@ -115,7 +143,8 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
         s, device_losses = entry
         host = {k: float(v) for k, v in device_losses.items()}
         _check_finite(s, host)
-        tracker.log(s, host["d_loss"], host["g_loss"])
+        if tracker is not None:
+            tracker.log(s, host["d_loss"], host["g_loss"])
         averager.add(host)
 
     def per_step_bookkeeping(s: int):
@@ -126,14 +155,15 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             if dt > 0:
                 avg["images_per_sec"] = imgs_in_window / dt
                 avg["step_time_ms"] = 1000.0 * dt / max(1, log_every)
-            tracker.log_json_line(s, avg)
-            if (config.get("log") or {}).get("verbose", True):
+            if tracker is not None:
+                tracker.log_json_line(s, avg)
+            if is_main and (config.get("log") or {}).get("verbose", True):
                 print(f"Step {s}: " + " | ".join(
                     f"{k}: {v:.4f}" for k, v in avg.items()))
             averager.clear()
             t_window = time.perf_counter()
             imgs_in_window = 0
-        if s % ckpt_every == 0 and s > 0:
+        if s % ckpt_every == 0 and s > 0 and is_main:
             path = ckpt_dir / f"ckpt_step{s}.msgpack"
             save_checkpoint(
                 path, int(state.step), trainer.checkpoint_payload(state),
@@ -180,19 +210,22 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
         while pending:
             drain(pending.pop(0))
 
-        final = ckpt_dir / "ckpt_final.msgpack"
-        save_checkpoint(final, int(state.step), trainer.checkpoint_payload(state),
-                        config=config)
-        print(f"\nTraining complete. Final checkpoint: {final}")
+        if is_main:
+            final = ckpt_dir / "ckpt_final.msgpack"
+            save_checkpoint(final, int(state.step),
+                            trainer.checkpoint_payload(state), config=config)
+            print(f"\nTraining complete. Final checkpoint: {final}")
     finally:
         if profiling:
             jax.profiler.stop_trace()
-        tracker.close()
+        if tracker is not None:
+            tracker.close()
         loader.close()
 
-    history = tracker.load_history()
-    if history["steps"]:
-        plot_training_losses(
-            log_dir, history["steps"], history["d_losses"], history["g_losses"]
-        )
+    if tracker is not None:
+        history = tracker.load_history()
+        if history["steps"]:
+            plot_training_losses(
+                log_dir, history["steps"], history["d_losses"], history["g_losses"]
+            )
     return state, trainer

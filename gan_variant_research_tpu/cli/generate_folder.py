@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import sys
 import zipfile
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -101,6 +102,7 @@ def stylize_folder(
     limit: int | None = None,
     quality: int = 95,
     zip_path: str | None = None,
+    num_devices: int | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -108,6 +110,7 @@ def stylize_folder(
 
     from gan_variant_research_tpu.ops.color import to_uint8
     from gan_variant_research_tpu.ops.resize import resize_bilinear
+    from gan_variant_research_tpu.parallel.mesh import create_mesh
 
     photos_dir = Path(photos_dir)
     out_dir = Path(out_dir)
@@ -117,7 +120,24 @@ def stylize_folder(
     if not paths:
         raise FileNotFoundError(f"No images found under {photos_dir}")
 
-    @jax.jit
+    # data-parallel serving over every local device (GSPMD batch sharding;
+    # a 1-chip mesh is the plain single-device program). The generator is a
+    # per-sample network, so sharded rows are identical to the single-device
+    # ones. Single-process by design — local devices, not global.
+    mesh = create_mesh(num_devices=num_devices, devices=jax.local_devices())
+    dp = mesh.num_devices > 1
+    jit_kwargs = {}
+    if dp:
+        if batch % mesh.num_devices:
+            batch = -(-batch // mesh.num_devices) * mesh.num_devices
+            print(f"Rounding batch to {batch} "
+                  f"(divisible by {mesh.num_devices} devices)")
+        params = jax.device_put(params, mesh.replicated())
+        jit_kwargs = {"in_shardings": mesh.batch_sharding(4),
+                      "out_shardings": mesh.batch_sharding(4)}
+        print(f"Serving data-parallel over {mesh.num_devices} devices")
+
+    @partial(jax.jit, **jit_kwargs)
     def forward(u8):
         x01 = u8.astype(jnp.float32) / 255.0
         x = jnp.clip(resize_bilinear(x01, (size, size)), 0.0, 1.0) * 2.0 - 1.0
@@ -163,7 +183,9 @@ def stylize_folder(
                 chunk = paths[i : i + batch]
                 arr = np.stack(list(decode_pool.map(load_img, chunk)))
                 pad = 0
-                if arr.shape[0] < batch and i > 0:
+                # a lone first batch keeps its natural shape (one compile);
+                # under DP every batch must divide across the mesh, so pad
+                if arr.shape[0] < batch and (i > 0 or dp):
                     pad = batch - arr.shape[0]
                     arr = np.concatenate(
                         [arr, np.zeros((pad, *arr.shape[1:]), np.uint8)])

@@ -141,12 +141,28 @@ def run_evaluation(cfg: dict, allow_random_weights: bool = False) -> dict:
     print(f"Real SHA1: {real_hash}")
 
     _banner(4, "Building feature extractor")
+    # data-parallel over every local device (GSPMD batch sharding; a 1-chip
+    # mesh is the plain single-device program). Local devices, not global:
+    # the eval CLI is a single-process tool even on a pod slice.
+    import jax
+
+    from gan_variant_research_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(devices=jax.local_devices())
+    if mesh.num_devices > 1:
+        if cfg["batch_size"] % mesh.num_devices:
+            rounded = -(-cfg["batch_size"] // mesh.num_devices) * mesh.num_devices
+            print(f"Rounding batch {cfg['batch_size']} → {rounded} "
+                  f"(divisible by {mesh.num_devices} devices)")
+            cfg["batch_size"] = rounded
+        print(f"Feature extraction data-parallel over {mesh.num_devices} devices")
     extractor = InceptionFeatureExtractor(
         weights_path=cfg.get("inception_weights"),
         allow_random=allow_random_weights,
         batch_size=cfg["batch_size"],
         img_size=cfg["img_size"],
         num_workers=cfg["num_workers"],
+        mesh=mesh,
     )
     if extractor.net.randomly_initialized:
         validation["warnings"].append(

@@ -20,12 +20,13 @@ from gan_variant_research_tpu.evalsuite.frechet import gaussian_stats
 from gan_variant_research_tpu.evalsuite.inception import InceptionFID
 
 
-def _prefetch_to_device(batches, depth: int = 2):
+def _prefetch_to_device(batches, depth: int = 2, sharding=None):
     """Stage (batch, n_valid) pairs onto the device from a background thread
     so decode + host→device transfer of batch N+1 overlap the inception
     forward of batch N. Measured on the tunneled v5e: device-resident batches
     run 659-807 img/s vs ~95 img/s when each transfer serializes with the
-    compute (docs/PERF.md)."""
+    compute (docs/PERF.md). ``sharding`` (e.g. a mesh batch sharding) stages
+    each batch pre-sharded so the DP forward needs no resharding copy."""
     import jax
 
     q: queue.Queue = queue.Queue(maxsize=depth)
@@ -34,7 +35,7 @@ def _prefetch_to_device(batches, depth: int = 2):
     def producer():
         try:
             for batch, n_valid in batches:
-                q.put((jax.device_put(batch), n_valid))
+                q.put((jax.device_put(batch, sharding), n_valid))
             q.put(_END)
         except BaseException as e:  # propagate decode/transfer errors
             q.put(e)
@@ -54,8 +55,16 @@ class InceptionFeatureExtractor:
 
     def __init__(self, weights_path: str | Path | None = None,
                  allow_random: bool = False, batch_size: int = 64,
-                 img_size: int = 299, num_workers: int = 8):
-        self.net = InceptionFID(weights_path, allow_random=allow_random)
+                 img_size: int = 299, num_workers: int = 8, mesh=None):
+        if mesh is not None and mesh.num_devices > 1 and \
+                batch_size % mesh.num_devices:
+            raise ValueError(
+                f"batch_size={batch_size} must be divisible by the mesh's "
+                f"{mesh.num_devices} devices for data-parallel extraction "
+                f"(batches are padded to a fixed shape, so round up)"
+            )
+        self.net = InceptionFID(weights_path, allow_random=allow_random,
+                                mesh=mesh)
         self.batch_size = batch_size
         self.img_size = img_size
         self.num_workers = num_workers
@@ -64,9 +73,11 @@ class InceptionFeatureExtractor:
                 verbose: bool = True) -> np.ndarray:
         feats = []
         done = 0
+        sharding = (self.net.mesh.batch_sharding(4)
+                    if self.net.mesh is not None else None)
         for batch, n_valid in _prefetch_to_device(iter_batches(
             paths, self.batch_size, self.img_size, self.num_workers
-        )):
+        ), sharding=sharding):
             f = self.net.features_u8(batch)[:n_valid]
             feats.append(f)
             done += n_valid

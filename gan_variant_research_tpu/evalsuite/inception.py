@@ -296,12 +296,19 @@ class InceptionFID:
 
     ``weights_path=None`` requires ``allow_random=True`` and yields random
     features — ONLY for pipeline tests, never for reportable scores.
+
+    ``mesh`` (a ``parallel.mesh.MeshContext``) turns the forward into a
+    data-parallel GSPMD program: params replicated, the uint8 batch sharded
+    along its leading axis, features returned batch-sharded (the host gather
+    happens in ``features_u8``). With a 1-device mesh (or ``None``) the
+    program is the single-chip one — same math either way, per-row identical.
     """
 
     def __init__(self, weights_path: str | Path | None = None,
-                 allow_random: bool = False):
+                 allow_random: bool = False, mesh=None):
         self.module = InceptionV3FID()
         self.randomly_initialized = weights_path is None
+        self.mesh = mesh if (mesh is not None and mesh.num_devices > 1) else None
         if weights_path is not None:
             self.params = load_torch_inception_weights(weights_path)
             self._validate_params()
@@ -318,9 +325,20 @@ class InceptionFID:
             self.params = jax.jit(lambda: self.module.init(
                 jax.random.key(0), jnp.zeros((1, 299, 299, 3), jnp.float32)
             )["params"])()
+        jit_kwargs = {}
+        if self.mesh is not None:
+            # replicate params across the mesh once; shard the batch axis of
+            # input and output so each device runs its rows (DP eval — the
+            # reference's single-GPU extractor has no equivalent layer)
+            self.params = jax.device_put(self.params, self.mesh.replicated())
+            jit_kwargs = {
+                "in_shardings": self.mesh.batch_sharding(4),
+                "out_shardings": self.mesh.batch_sharding(2),
+            }
         self._features = jax.jit(
             lambda u8: self.module.apply({"params": self.params},
-                                         preprocess_uint8(u8))
+                                         preprocess_uint8(u8)),
+            **jit_kwargs,
         )
 
     def _validate_params(self):

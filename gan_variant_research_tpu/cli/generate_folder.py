@@ -43,15 +43,25 @@ def parse_args(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--limit", type=int, default=None, help="Max images to process")
     p.add_argument("--no-ema", action="store_true", help="Use raw generator params")
+    p.add_argument("--direction", choices=("A2B", "B2A"), default="A2B",
+                   help="For CycleGAN checkpoints: which generator to serve "
+                        "(A2B = photo->monet in the reference's convention)")
     p.add_argument("--zip", dest="zip_path", default=None,
                    help="Also write a flat submission zip (0.jpg..N.jpg)")
     p.add_argument("--quality", type=int, default=95)
     return p.parse_args(argv)
 
 
-def load_generator_params(ckpt_path: str, use_ema: bool = True):
+def load_generator_params(ckpt_path: str, use_ema: bool = True,
+                          direction: str = "A2B"):
     """EMA-first parameter selection + generator reconstruction from the
-    stored config. Returns (generator module, params, config)."""
+    stored config. Returns (generator module, params, config).
+
+    Serves both trainer families: CUT checkpoints (``ema_G.shadow`` →
+    ``generator`` fallback chain, reference _pick_state_dict
+    generate_folder.py:127-167) and CycleGAN checkpoints (``G_A2B``/``G_B2A``
+    joint payload, Basic_GAN/src/train.py:126-137 — which the reference has
+    no inference script for; submissions went through notebook cells)."""
     import jax.numpy as jnp
 
     from gan_variant_research_tpu.core.precision import policy_from_config
@@ -61,6 +71,21 @@ def load_generator_params(ckpt_path: str, use_ema: bool = True):
     blob = load_checkpoint(ckpt_path)
     payload = blob["payload"]
     config = blob["config"] or {}
+
+    if "G_A2B" in payload:  # CycleGAN joint checkpoint
+        from gan_variant_research_tpu.train.cyclegan_trainer import (
+            _build_generator as build_cyclegan_generator,
+        )
+
+        key = {"A2B": "G_A2B", "B2A": "G_B2A"}[direction]
+        policy = policy_from_config(config) if config else None
+        from gan_variant_research_tpu.core.precision import DEFAULT_POLICY
+
+        generator = build_cyclegan_generator(
+            config.get("model") or {}, policy or DEFAULT_POLICY
+        )
+        print(f"CycleGAN checkpoint: serving {key}", file=sys.stderr)
+        return generator, _as_jnp(payload[key]), config
 
     params = None
     if use_ema:
@@ -254,7 +279,8 @@ def stylize_folder(
 
 def main(argv=None):
     args = parse_args(argv)
-    generator, params, _ = load_generator_params(args.ckpt, use_ema=not args.no_ema)
+    generator, params, _ = load_generator_params(
+        args.ckpt, use_ema=not args.no_ema, direction=args.direction)
     stylize_folder(
         generator,
         params,

@@ -122,6 +122,55 @@ def test_generate_without_ema_warns_when_missing(workspace, capsys):
     assert params is not None
 
 
+def test_generate_folder_serves_cyclegan_checkpoints(tmp_path):
+    """CycleGAN joint checkpoints (G_A2B/G_B2A payload) are served first-class
+    with --direction selection; the reference's Basic_GAN stack has no
+    inference script at all (submissions went via notebook cells), so this is
+    the parity surface for SURVEY.md §2.5's submission flow on that stack."""
+    import jax
+    import numpy as np
+
+    from gan_variant_research_tpu.cli.generate_folder import (
+        load_generator_params,
+        stylize_folder,
+    )
+    from gan_variant_research_tpu.train.checkpoint import save_checkpoint
+    from gan_variant_research_tpu.train.cyclegan_trainer import CycleGANTrainer
+
+    cfg = {
+        "data": {"img_size": 16},
+        "training": {"epochs": 1, "batch_size": 2, "amp": False, "seed": 0},
+        "optim": {"lr_g": 2e-4, "lr_d": 2e-4, "betas": [0.5, 0.999],
+                  "lr_decay_after": 1},
+        "loss": {"gan": "lsgan", "lambda_cycle": 10.0, "lambda_identity": 0.5},
+        "model": {"ngf": 4, "ndf": 4, "n_blocks": 6, "n_layers": 2,
+                  "spectral_norm_d": False, "generator": "resnet"},
+        "runtime": {"precision": "fp32"},
+        "parallel": {"num_devices": 1},
+    }
+    trainer = CycleGANTrainer(cfg)
+    state = trainer.init_state()
+    ckpt = tmp_path / "cyclegan.msgpack"
+    save_checkpoint(ckpt, 0, trainer.checkpoint_payload(state), config=cfg)
+
+    _folder(tmp_path, "photos", 4, 0)
+    for direction, key in [("A2B", "G_A2B"), ("B2A", "G_B2A")]:
+        generator, params, stored = load_generator_params(
+            ckpt, direction=direction)
+        written = stylize_folder(
+            generator, params, tmp_path / "photos",
+            tmp_path / f"out_{direction}", size=16, batch=4)
+        assert len(written) == 4
+        # served params are exactly the requested generator's
+        got = jax.tree_util.tree_leaves(params)
+        want = jax.tree_util.tree_leaves(state.g_params[key])
+        assert all(np.array_equal(g, np.asarray(w)) for g, w in zip(got, want))
+    # the two directions produce different images (distinct param trees)
+    a = np.asarray(Image.open(tmp_path / "out_A2B" / "000.jpg"))
+    b = np.asarray(Image.open(tmp_path / "out_B2A" / "000.jpg"))
+    assert not np.array_equal(a, b)
+
+
 def test_generate_folder_surfaces_decode_errors(workspace, tmp_path):
     """A corrupt input image must raise in the caller, not die silently in
     the decode-prefetch thread (which would truncate the output tree)."""

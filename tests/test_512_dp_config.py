@@ -38,6 +38,10 @@ def test_512_dp_step_on_8_devices(rng):
         "batch_size=8",
         "r1.every=1",          # exercise the R1 branch in the single step
         "runtime.precision=fp32",
+        # the shipped config turned remat OFF (measured pure overhead at
+        # 512², docs/PERF.md capacity table) — force it on here so the
+        # remat'd-trunk train path stays covered on the 8-device mesh
+        "model.generator.remat=true",
     ])
     validate_config(config, CUT_SCHEMA, strict=True)
     assert config["image_size"] == 512

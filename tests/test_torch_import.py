@@ -221,3 +221,70 @@ def test_metadata_dict_does_not_shadow_state_dict(torch_gen, tmp_path):
     exp = convert_generator_state_dict(torch_gen.state_dict())
     np.testing.assert_allclose(
         params["initial_conv"]["kernel"], exp["initial_conv"]["kernel"])
+
+
+# ---- exporter (the inverse bridge) ----
+
+
+def test_export_roundtrip_exact(torch_gen):
+    """torch sd → import → export must reproduce every tensor bitwise —
+    the transpose/flip inverses cancel exactly."""
+    from gan_variant_research_tpu.cli.export_torch_checkpoint import (
+        generator_params_to_state_dict,
+    )
+
+    sd = {k: v.numpy() for k, v in torch_gen.state_dict().items()}
+    back = generator_params_to_state_dict(convert_generator_state_dict(sd))
+    assert sorted(back) == sorted(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_export_trained_checkpoint_serves_reference_module(tmp_path, rng):
+    """A checkpoint our CUT trainer actually wrote must export to a .pt
+    whose state dict loads into the reference generator module with
+    strict=True and reproduces our forward — the artifact a reference user
+    needs to run OUR weights in THEIR torch pipeline."""
+    from gan_variant_research_tpu.cli.export_torch_checkpoint import (
+        export_torch_checkpoint,
+    )
+    from gan_variant_research_tpu.train.checkpoint import save_checkpoint
+    from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+
+    cfg = {
+        "image_size": 32, "batch_size": 2, "max_steps": 1, "seed": 3,
+        "warmup_steps": 1,
+        "optim": {"G": {"lr": 2e-4, "betas": [0.5, 0.999]},
+                  "D": {"lr": 2e-4, "betas": [0.5, 0.999]}},
+        "loss_weights": {"adv": 1.0, "patchnce": 1.0,
+                         "identity_warm": 0.1, "identity_final": 0.0},
+        "model": {"generator": {"ngf": 8, "n_blocks": 2},
+                  "discriminator": {"ndf": 4, "n_layers": 2, "num_scales": 1}},
+        "patchnce": {"num_patches": 8, "temperature": 0.07,
+                     "nce_layers": [0, 4, 8, 12, 16]},
+        "r1": {"gamma": 10.0, "every": 4},
+        "ema": {"decay": 0.999},
+        "runtime": {"precision": "fp32"},
+        "parallel": {"num_devices": 1},
+    }
+    trainer = CUTTrainer(cfg)
+    state = trainer.init_state()
+    ckpt = tmp_path / "ours.msgpack"
+    save_checkpoint(ckpt, 0, trainer.checkpoint_payload(state), config=cfg)
+
+    pt = export_torch_checkpoint(ckpt, tmp_path / "ours.pt")
+    blob = torch.load(pt, map_location="cpu", weights_only=False)
+    assert blob["ema_G"]["decay"] == pytest.approx(0.999)
+
+    tg = TorchRefGenerator(ngf=8, n_blocks=2, n_down=2)
+    missing = tg.load_state_dict(blob["generator"], strict=True)
+    assert not missing.missing_keys and not missing.unexpected_keys
+    tg.eval()
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        y_t = tg(torch.from_numpy(x).permute(0, 3, 1, 2))
+    y_t = y_t.permute(0, 2, 3, 1).numpy()
+    y_j = np.asarray(trainer.generator.apply(
+        {"params": state.g_params}, jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-5, rtol=1e-4)

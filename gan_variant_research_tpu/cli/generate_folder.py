@@ -178,6 +178,17 @@ def stylize_folder(
     from concurrent.futures import ThreadPoolExecutor
 
     def load_img(p):
+        # native libjpeg fast path (pixel-identical to PIL, GIL-free);
+        # PIL handles everything else + the bilinear resize
+        from gan_variant_research_tpu.data.native_loader import decode_jpeg
+
+        arr = decode_jpeg(p)
+        if arr is not None:
+            if arr.shape[:2] != (size, size):
+                arr = np.asarray(
+                    Image.fromarray(arr).resize((size, size), Image.BILINEAR),
+                    dtype=np.uint8)
+            return arr
         with Image.open(p) as im:
             im = im.convert("RGB")
             if im.size != (size, size):

@@ -14,7 +14,20 @@ from PIL import Image
 
 
 def load_eval_image(path: str | Path, img_size: int = 299) -> np.ndarray:
-    """uint8 HWC, RGB, bilinear-resized to img_size² (datasets.py:48-66)."""
+    """uint8 HWC, RGB, bilinear-resized to img_size² (datasets.py:48-66).
+
+    JPEGs decode through the native libjpeg path (pixel-identical to PIL —
+    pinned by test_native_matches_pil — so FID parity is unaffected);
+    resampling stays PIL-bilinear either way for exact reference parity."""
+    from gan_variant_research_tpu.data.native_loader import decode_jpeg
+
+    arr = decode_jpeg(path)
+    if arr is not None:
+        if arr.shape[:2] != (img_size, img_size):
+            im = Image.fromarray(arr).resize((img_size, img_size),
+                                             Image.BILINEAR)
+            arr = np.asarray(im, dtype=np.uint8)
+        return arr
     with Image.open(path) as img:
         if img.mode != "RGB":
             img = img.convert("RGB")

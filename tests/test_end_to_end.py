@@ -66,15 +66,23 @@ def micro_config(root: Path) -> dict:
     }
 
 
-def test_train_checkpoint_resume_generate(workspace):
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Run the 5-step training once per module; dependent tests request this
+    fixture (instead of relying on test order) for the checkpoint artifacts."""
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    return train_cut(micro_config(workspace))
+
+
+def test_train_checkpoint_resume_generate(workspace, trained):
     from gan_variant_research_tpu.train.loop import train_cut
     from gan_variant_research_tpu.cli.generate_folder import (
         load_generator_params,
         stylize_folder,
     )
 
-    cfg = micro_config(workspace)
-    state, trainer = train_cut(cfg)
+    state, _ = trained
     assert int(state.step) == 5
 
     # logging contracts: per-step CSV + JSON lines
@@ -114,7 +122,7 @@ def test_train_checkpoint_resume_generate(workspace):
         assert "0.jpg" in zf.namelist()
 
 
-def test_generate_without_ema_warns_when_missing(workspace, capsys):
+def test_generate_without_ema_warns_when_missing(workspace, trained, capsys):
     from gan_variant_research_tpu.cli.generate_folder import load_generator_params
 
     final = workspace / "ckpts" / "ckpt_final.msgpack"
@@ -171,7 +179,7 @@ def test_generate_folder_serves_cyclegan_checkpoints(tmp_path):
     assert not np.array_equal(a, b)
 
 
-def test_generate_folder_surfaces_decode_errors(workspace, tmp_path):
+def test_generate_folder_surfaces_decode_errors(workspace, trained, tmp_path):
     """A corrupt input image must raise in the caller, not die silently in
     the decode-prefetch thread (which would truncate the output tree)."""
     from gan_variant_research_tpu.cli.generate_folder import (

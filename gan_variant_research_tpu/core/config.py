@@ -198,9 +198,10 @@ CUT_SCHEMA: dict = {
             "use_channel_attn": bool,
             "channel_attn_layers": list,
             "use_style_dropout": bool,
-            "style_dropout": dict,
+            "style_dropout": {"alpha_min": _num, "alpha_max": _num},
             "remat": bool,
             "use_pallas": bool,
+            "use_s2d": bool,
         },
         "discriminator": {
             "base": str,

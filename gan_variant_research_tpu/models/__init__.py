@@ -6,6 +6,11 @@ from gan_variant_research_tpu.models.generator_resnet import (
     ResidualBlock,
 )
 from gan_variant_research_tpu.models.generator_unet import UNetGenerator
+from gan_variant_research_tpu.models.attention import (
+    SelfAttention2d,
+    ChannelAttention,
+    StyleGate,
+)
 from gan_variant_research_tpu.models.discriminator_patchgan import (
     PatchGANDiscriminator,
     MultiscaleDiscriminator,
@@ -17,4 +22,7 @@ __all__ = [
     "UNetGenerator",
     "PatchGANDiscriminator",
     "MultiscaleDiscriminator",
+    "SelfAttention2d",
+    "ChannelAttention",
+    "StyleGate",
 ]

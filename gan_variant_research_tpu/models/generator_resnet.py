@@ -20,9 +20,16 @@ Design notes (TPU-first, not a translation):
   note the default nce_layers [0,4,8,12,16] contains id 16 which does not
   exist (valid ids are 0..13), so the reference effectively uses 4 taps;
   we reproduce that.
-- The deleted experimental flags (attention / channel attention / style
-  dropout) are accepted but fail loudly, per SURVEY.md §2.1 ("flags should
-  exist and either work or fail loudly").
+- The experimental flags the reference deleted in its baseline reversion
+  (attention / channel attention / style dropout,
+  generator_resnet_attn.py:88-99 + Documentation/BASELINE_REVERSION.md §2)
+  are WORKING opt-in variants here (models/attention.py), re-designed
+  TPU-first as the reversion doc's own "add incrementally as deltas from
+  this proven baseline" roadmap prescribes. All three start as exact
+  identities at init (zero-init gains / closed gates), so enabling a flag
+  continues the baseline model rather than re-initializing it; with every
+  flag at its default the parameter tree, the feature-tap ids, and the
+  compiled HLO are bit-identical to the baseline.
 """
 
 from __future__ import annotations
@@ -149,8 +156,9 @@ class ResNetGenerator(nn.Module):
     norm: str = "instance"
     activation: str = "relu"
     use_bias: bool = True        # Basic_GAN lineage uses False
-    # Deleted experimental features — accepted, fail loudly if enabled
-    # (reference constructor args, generator_resnet_attn.py:88-99)
+    # Experimental variant features (reference constructor args,
+    # generator_resnet_attn.py:88-99; working re-designs in
+    # models/attention.py — see module docstring)
     use_attention: bool = False
     attn_layers: Sequence[int] = (3, 7)
     use_channel_attn: bool = False
@@ -172,16 +180,13 @@ class ResNetGenerator(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    def setup(self):
-        if self.use_attention or self.use_channel_attn or self.use_style_dropout:
-            raise NotImplementedError(
-                "attention / channel-attention / style-dropout were removed from "
-                "the reference baseline (Documentation/BASELINE_REVERSION.md); "
-                "the flags exist for config parity but are not implemented."
-            )
-
     @nn.compact
-    def __call__(self, x: jnp.ndarray, extract: Sequence[int] | None = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        extract: Sequence[int] | None = None,
+        style_key: jax.Array | None = None,
+    ):
         act = activation_fn(self.activation)
         stem_pad = 3 if self.padding_type != "reflect" else 0
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -219,9 +224,18 @@ class ResNetGenerator(nn.Module):
             h = act(h)
             tap(h)
 
-        # Residual trunk (ref :129-138)
+        # Residual trunk (ref :129-138), with the opt-in variant blocks
+        # (models/attention.py) applied after their host res block — the
+        # tap then sees the attended feature, so PatchNCE contrasts what
+        # the rest of the network actually consumes. Tap ids are unchanged
+        # (one per res block) whether or not the variants are enabled.
         res_channels = self.ngf * 2 ** self.n_downsampling
         block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+        style_keys = (
+            jax.random.split(style_key, self.n_blocks)
+            if (self.use_style_dropout and style_key is not None)
+            else None
+        )
         for i in range(self.n_blocks):
             h = block_cls(
                 res_channels,
@@ -233,6 +247,24 @@ class ResNetGenerator(nn.Module):
                 name=f"res_{i}",
                 **kw,
             )(h)
+            if self.use_attention and i in tuple(self.attn_layers):
+                from gan_variant_research_tpu.models.attention import SelfAttention2d
+
+                h = SelfAttention2d(res_channels, name=f"attn_{i}", **kw)(h)
+            if self.use_channel_attn and i in tuple(self.channel_attn_layers):
+                from gan_variant_research_tpu.models.attention import ChannelAttention
+
+                h = ChannelAttention(res_channels, name=f"channel_attn_{i}", **kw)(h)
+            if self.use_style_dropout:
+                from gan_variant_research_tpu.models.attention import StyleGate
+
+                h = StyleGate(
+                    res_channels,
+                    alpha_min=self.alpha_min,
+                    alpha_max=self.alpha_max,
+                    name=f"style_gate_{i}",
+                    **kw,
+                )(h, style_keys[i] if style_keys is not None else None)
             tap(h)
 
         # Upsampling ×n (ref :140-152)

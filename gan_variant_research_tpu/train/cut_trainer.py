@@ -148,6 +148,13 @@ class CUTTrainer:
         # on TPU; default bf16, set runtime.identity_fp32=true for strict
         # reference numerics.
         self.identity_fp32 = bool(runtime.get("identity_fp32", False))
+        # Style dropout (models/attention.py StyleGate) is train-only and
+        # stochastic: when enabled, every training-time generator forward
+        # (the shared big forward AND the identity pass) draws per-sample
+        # blend keys; inference (generate) passes no key and the gate is an
+        # exact no-op. Baseline configs never reach this branch, so the
+        # compiled baseline step is unchanged.
+        self.style_dropout = bool(gen_cfg.get("use_style_dropout", False))
         self.d_real_domain = runtime.get("d_real_domain", "monet")
         if self.d_real_domain not in ("photo", "monet"):
             raise ValueError(f"runtime.d_real_domain must be photo|monet, got {self.d_real_domain}")
@@ -344,11 +351,11 @@ class CUTTrainer:
         image_size = int(cfg.get("image_size", 256))
 
         step = state.step
-        keys = step_keys(
-            state.base_key,
-            step,
-            ("photo_aug", "monet_aug", "da_real", "da_fake", "da_g", "nce"),
-        )
+        key_names = ["photo_aug", "monet_aug", "da_real", "da_fake", "da_g", "nce"]
+        if self.style_dropout:
+            key_names += ["style_fwd", "style_nce", "style_idt"]
+        keys = step_keys(state.base_key, step, tuple(key_names))
+        style = (keys.get if self.style_dropout else (lambda _n: None))
 
         # Device-resident train transforms (dataio/transforms.py:30-47)
         photos = train_augment(keys["photo_aug"], photos_u8, image_size)
@@ -374,13 +381,19 @@ class CUTTrainer:
         if nce_w > 0:
             def big_fwd(p):
                 fake, src = self.generator.apply(
-                    {"params": p}, photos, extract=nce_layers
+                    {"params": p}, photos, extract=nce_layers,
+                    style_key=style("style_fwd"),
                 )
-                _, tgt = self.generator.apply({"params": p}, fake, extract=nce_layers)
+                _, tgt = self.generator.apply(
+                    {"params": p}, fake, extract=nce_layers,
+                    style_key=style("style_nce"),
+                )
                 return fake, src, tgt
         else:
             def big_fwd(p):
-                fake = self.generator.apply({"params": p}, photos)
+                fake = self.generator.apply(
+                    {"params": p}, photos, style_key=style("style_fwd")
+                )
                 return fake, [], []
 
         (fake, src_feats, tgt_feats), g_vjp = jax.vjp(big_fwd, state.g_params)
@@ -466,6 +479,7 @@ class CUTTrainer:
                     {"params": p},
                     monets.astype(jnp.float32 if self.identity_fp32
                                   else self.policy.compute_dtype),
+                    style_key=style("style_idt"),
                 )
                 return identity_loss(rec, monets)
 

@@ -85,10 +85,14 @@ class TestResNetGenerator:
         y_tap, feats = g.apply(params, x, extract=(0,))
         np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_tap), atol=1e-6)
 
-    def test_removed_flags_fail_loudly(self):
-        with pytest.raises(NotImplementedError):
-            g = ResNetGenerator(ngf=4, n_blocks=1, use_attention=True)
-            g.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    def test_variant_flags_build_working_modules(self):
+        """The reference's deleted experimental flags are working opt-in
+        variants here (models/attention.py); deep coverage lives in
+        tests/test_attention_variants.py."""
+        g = ResNetGenerator(ngf=4, n_blocks=2, use_attention=True,
+                            attn_layers=(0,))
+        params = g.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+        assert "attn_0" in params["params"]
 
 
 class TestDiscriminator:

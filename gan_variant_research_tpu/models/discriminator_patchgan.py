@@ -114,21 +114,38 @@ class MultiscaleDiscriminator(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, update_sn: bool = False):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        update_sn: bool = False,
+        extract_features: bool = False,
+    ):
+        """With ``extract_features=True`` returns (logit maps, per-scale
+        lists of intermediate features) — the multiscale analog of the
+        reference's ``get_intermediate_features``
+        (discriminator_patchgan.py:60-71,120-128), consumed by the
+        feature-matching loss (losses/feat_matching.py)."""
         outputs = []
+        feats = []
         h = x
         for i in range(self.num_scales):
             if i > 0:
                 h = avg_pool_3x3_s2(h)
-            outputs.append(
-                PatchGANDiscriminator(
-                    ndf=self.ndf,
-                    n_layers=self.n_layers,
-                    norm=self.norm,
-                    use_spectral_norm=self.use_spectral_norm,
-                    dtype=self.dtype,
-                    param_dtype=self.param_dtype,
-                    name=f"scale_{i}",
-                )(h, update_sn=update_sn)
+            d = PatchGANDiscriminator(
+                ndf=self.ndf,
+                n_layers=self.n_layers,
+                norm=self.norm,
+                use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"scale_{i}",
             )
+            if extract_features:
+                logits, f = d(h, update_sn=update_sn, extract_features=True)
+                outputs.append(logits)
+                feats.append(f)
+            else:
+                outputs.append(d(h, update_sn=update_sn))
+        if extract_features:
+            return outputs, feats
         return outputs

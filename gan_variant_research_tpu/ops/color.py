@@ -53,7 +53,11 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     kappa = 903.3
 
     def f(t):
-        return jnp.where(t > epsilon, jnp.cbrt(t), (kappa * t + 16.0) / 116.0)
+        # clamp inside the cbrt so the untaken branch can't poison gradients
+        # (d/dt cbrt(t) → ∞ at t=0; jnp.where evaluates both branches) —
+        # values are unchanged since cbrt is only selected where t > epsilon
+        return jnp.where(t > epsilon, jnp.cbrt(jnp.maximum(t, epsilon)),
+                         (kappa * t + 16.0) / 116.0)
 
     fx, fy, fz = f(x), f(y), f(z)
     L = 116.0 * fy - 16.0
@@ -62,10 +66,13 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([L, a, b_lab], axis=-1)
 
 
-def get_low_freq_stats(lab: jnp.ndarray, target_size: int = 32):
+def get_low_freq_stats(lab: jnp.ndarray, target_size: int = 32,
+                       eps: float = 0.0):
     """Mean/std of the low-frequency component of an NHWC Lab image
     (transforms.py:122-141: adaptive-avg-pool to target_size then stats).
-    Returns ((B,3) mean, (B,3) std with Bessel correction like torch.std)."""
+    Returns ((B,3) mean, (B,3) std with Bessel correction like torch.std).
+    ``eps`` stabilizes the sqrt gradient for differentiable consumers
+    (losses/palette_prior.py); the default keeps the reference value exact."""
     b, h, w, c = lab.shape
     # adaptive_avg_pool2d with integer ratio == mean over equal windows;
     # for non-divisible sizes fall back to resize-style pooling via reshape
@@ -76,4 +83,4 @@ def get_low_freq_stats(lab: jnp.ndarray, target_size: int = 32):
     mean = pooled.mean(axis=(1, 2))
     n = target_size * target_size
     var = jnp.square(pooled - mean[:, None, None, :]).sum(axis=(1, 2)) / (n - 1)
-    return mean, jnp.sqrt(var)
+    return mean, jnp.sqrt(var + eps)

@@ -42,7 +42,9 @@ from gan_variant_research_tpu.core.prng import step_keys
 from gan_variant_research_tpu.data.augment import train_augment
 from gan_variant_research_tpu.losses import (
     discriminator_hinge_loss,
+    feature_matching_loss,
     generator_hinge_loss,
+    palette_prior_loss,
     patch_nce_loss,
     identity_loss,
 )
@@ -106,7 +108,8 @@ def build_discriminator(disc_cfg: dict, policy: Policy) -> MultiscaleDiscriminat
     )
 
 
-LOSS_KEYS = ("d_loss", "g_loss", "g_adv", "nce", "identity", "r1", "identity_weight")
+LOSS_KEYS = ("d_loss", "g_loss", "g_adv", "nce", "identity", "r1",
+             "identity_weight", "featmatch", "palette")
 
 
 class CUTTrainer:
@@ -235,18 +238,22 @@ class CUTTrainer:
 
         return _init(jnp.asarray(seed, jnp.uint32))
 
-    def _apply_d(self, d_params, d_spectral, x, update_sn: bool, fp32: bool = False):
+    def _apply_d(self, d_params, d_spectral, x, update_sn: bool, fp32: bool = False,
+                 extract_features: bool = False):
+        """Returns (preds, d_spectral), or ((preds, feats), d_spectral) with
+        ``extract_features=True`` (the feature-matching tap)."""
         model = self.discriminator_f32 if fp32 else self.discriminator
         variables = {"params": d_params}
+        kw = {"extract_features": True} if extract_features else {}
         if d_spectral:
             variables["spectral"] = d_spectral
             if update_sn:
                 preds, mut = model.apply(
-                    variables, x, update_sn=True, mutable=["spectral"]
+                    variables, x, update_sn=True, mutable=["spectral"], **kw
                 )
                 return preds, mut["spectral"]
-            return model.apply(variables, x, update_sn=False), d_spectral
-        return model.apply(variables, x), d_spectral
+            return model.apply(variables, x, update_sn=False, **kw), d_spectral
+        return model.apply(variables, x, **kw), d_spectral
 
     # ------------------------------------------------------------------ #
 
@@ -337,6 +344,13 @@ class CUTTrainer:
         nce_w = float(lw.get("patchnce", 1.0))
         idt_warm = float(lw.get("identity_warm", 0.1))
         idt_final = float(lw.get("identity_final", 0.0))
+        # Re-designed variant losses (both deleted by the reference's baseline
+        # reversion; losses/feat_matching.py, losses/palette_prior.py). Read
+        # at trace time → 0.0 (the reference default, configs/cutpp_baseline
+        # .yaml loss_weights) compiles them out of the step entirely.
+        fm_w = float(lw.get("featmatch", 0.0))
+        pal_w = float(lw.get("palette", 0.0))
+        pal_size = int((cfg.get("palette_prior") or {}).get("target_size", 32))
         warmup_steps = int(cfg.get("warmup_steps", 20000))
         nce_cfg = cfg.get("patchnce") or {}
         nce_layers = tuple(nce_cfg.get("nce_layers", (0, 4, 8, 12, 16)))
@@ -447,7 +461,30 @@ class CUTTrainer:
         # src features enter as constants (the reference detaches them)
         def head_fn(fake_h, tgt_h):
             fake_aug_g = maybe_aug(keys["da_g"], fake_h)
-            preds, _ = self._apply_d(d_params, d_spectral, fake_aug_g, update_sn=False)
+            if fm_w > 0:
+                # One D forward serves both the adversarial logits and the
+                # feature-matching taps: concat(fake, real) through the
+                # feature-extracting apply, then split. The real half is a
+                # constant of this head (stop-gradient), so only the loss
+                # value — not the D params — sees it.
+                real_fm = jax.lax.stop_gradient(
+                    maybe_aug(keys["da_real"], real_images)
+                )
+                nb = fake_aug_g.shape[0]
+                (preds_all, feats_all), _ = self._apply_d(
+                    d_params, d_spectral,
+                    jnp.concatenate([fake_aug_g, real_fm], axis=0),
+                    update_sn=False, extract_features=True,
+                )
+                preds = [p[:nb] for p in preds_all]
+                fake_fm = [[f[:nb] for f in fs] for fs in feats_all]
+                real_feats = [[f[nb:] for f in fs] for fs in feats_all]
+                fm = feature_matching_loss(real_feats, fake_fm)
+            else:
+                preds, _ = self._apply_d(
+                    d_params, d_spectral, fake_aug_g, update_sn=False
+                )
+                fm = jnp.zeros((), jnp.float32)
             g_adv = generator_hinge_loss(preds)
             if nce_w > 0:
                 nce = patch_nce_loss(
@@ -459,9 +496,12 @@ class CUTTrainer:
                 )
             else:
                 nce = jnp.zeros((), jnp.float32)
-            return adv_w * g_adv + nce_w * nce, (g_adv, nce)
+            pal = (palette_prior_loss(fake_h, monets, target_size=pal_size)
+                   if pal_w > 0 else jnp.zeros((), jnp.float32))
+            total = adv_w * g_adv + nce_w * nce + fm_w * fm + pal_w * pal
+            return total, (g_adv, nce, fm, pal)
 
-        (head_loss, (g_adv, nce)), head_grads = jax.value_and_grad(
+        (head_loss, (g_adv, nce, fm, pal)), head_grads = jax.value_and_grad(
             head_fn, argnums=(0, 1), has_aux=True
         )(fake, tgt_feats)
         zeros_src = [jnp.zeros_like(s) for s in src_feats]
@@ -513,6 +553,8 @@ class CUTTrainer:
             "identity": idt,
             "r1": r1_value,
             "identity_weight": identity_weight,
+            "featmatch": fm,
+            "palette": pal,
         }
         return new_state, losses
 

@@ -47,6 +47,7 @@ from gan_variant_research_tpu.losses import (
     palette_prior_loss,
     patch_nce_loss,
     identity_loss,
+    repulsion_loss,
 )
 from gan_variant_research_tpu.models import (
     MultiscaleDiscriminator,
@@ -109,7 +110,7 @@ def build_discriminator(disc_cfg: dict, policy: Policy) -> MultiscaleDiscriminat
 
 
 LOSS_KEYS = ("d_loss", "g_loss", "g_adv", "nce", "identity", "r1",
-             "identity_weight", "featmatch", "palette")
+             "identity_weight", "featmatch", "palette", "repulsion")
 
 
 class CUTTrainer:
@@ -161,6 +162,37 @@ class CUTTrainer:
         self.d_real_domain = runtime.get("d_real_domain", "monet")
         if self.d_real_domain not in ("photo", "monet"):
             raise ValueError(f"runtime.d_real_domain must be photo|monet, got {self.d_real_domain}")
+
+        # k-NN repulsion (the deleted losses/repulsion_knn.py, re-designed —
+        # see that module's docstring): a frozen pool3 embedder + a
+        # precomputed Monet feature bank, both replicated over the mesh and
+        # closed over by the step as constants. Gated on loss_weights
+        # .repulsion > 0 AND repulsion.enabled (default on when weighted).
+        self._repulsion = None
+        rep_w0 = float((config.get("loss_weights") or {}).get("repulsion", 0.0))
+        rep_cfg = config.get("repulsion") or {}
+        if rep_w0 > 0 and rep_cfg.get("enabled", True):
+            from gan_variant_research_tpu.train.feature_bank import (
+                ensure_feature_bank,
+                load_inception_params,
+                load_margin,
+                make_embed_fn,
+            )
+
+            clip_cfg = config.get("clip_features") or {}
+            bank = ensure_feature_bank(
+                clip_cfg, (config.get("data") or {}).get("monet_dir")
+            )
+            margin = float(rep_cfg.get(
+                "margin", load_margin(clip_cfg.get("margin_path"))
+            ))
+            rep_sh = self.mesh.replicated()
+            inc_params = jax.device_put(load_inception_params(clip_cfg), rep_sh)
+            self._repulsion = {
+                "bank": jax.device_put(jnp.asarray(bank, jnp.float32), rep_sh),
+                "margin": margin,
+                "embed": make_embed_fn(inc_params),
+            }
 
         # Donation halves peak HBM on a real TPU VM; validate_donation raises
         # with the measured reason on the backends where it is known-broken
@@ -344,13 +376,21 @@ class CUTTrainer:
         nce_w = float(lw.get("patchnce", 1.0))
         idt_warm = float(lw.get("identity_warm", 0.1))
         idt_final = float(lw.get("identity_final", 0.0))
-        # Re-designed variant losses (both deleted by the reference's baseline
-        # reversion; losses/feat_matching.py, losses/palette_prior.py). Read
-        # at trace time → 0.0 (the reference default, configs/cutpp_baseline
-        # .yaml loss_weights) compiles them out of the step entirely.
+        # Re-designed variant losses (all deleted by the reference's baseline
+        # reversion; losses/feat_matching.py, losses/palette_prior.py,
+        # losses/repulsion_knn.py). Read at trace time → 0.0 (the reference
+        # default) compiles them out of the step entirely. The surviving
+        # `palette.enabled` / `repulsion.enabled` gates are honored on top of
+        # the weights (train_gan_cutpp.yaml:139-149).
         fm_w = float(lw.get("featmatch", 0.0))
-        pal_w = float(lw.get("palette", 0.0))
-        pal_size = int((cfg.get("palette_prior") or {}).get("target_size", 32))
+        pal_w = (float(lw.get("palette", 0.0))
+                 if (cfg.get("palette") or {}).get("enabled", True) else 0.0)
+        pal_cfg = cfg.get("palette_prior") or {}
+        # reference key name is low_freq_size (train_gan_cutpp.yaml:146)
+        pal_size = int(pal_cfg.get("low_freq_size",
+                                   pal_cfg.get("target_size", 32)))
+        rep_w = (float(lw.get("repulsion", 0.0))
+                 if self._repulsion is not None else 0.0)
         warmup_steps = int(cfg.get("warmup_steps", 20000))
         nce_cfg = cfg.get("patchnce") or {}
         nce_layers = tuple(nce_cfg.get("nce_layers", (0, 4, 8, 12, 16)))
@@ -498,10 +538,19 @@ class CUTTrainer:
                 nce = jnp.zeros((), jnp.float32)
             pal = (palette_prior_loss(fake_h, monets, target_size=pal_size)
                    if pal_w > 0 else jnp.zeros((), jnp.float32))
-            total = adv_w * g_adv + nce_w * nce + fm_w * fm + pal_w * pal
-            return total, (g_adv, nce, fm, pal)
+            if rep_w > 0:
+                rep, _ = repulsion_loss(
+                    self._repulsion["embed"](fake_h),
+                    self._repulsion["bank"],
+                    self._repulsion["margin"],
+                )
+            else:
+                rep = jnp.zeros((), jnp.float32)
+            total = (adv_w * g_adv + nce_w * nce + fm_w * fm
+                     + pal_w * pal + rep_w * rep)
+            return total, (g_adv, nce, fm, pal, rep)
 
-        (head_loss, (g_adv, nce, fm, pal)), head_grads = jax.value_and_grad(
+        (head_loss, (g_adv, nce, fm, pal, rep)), head_grads = jax.value_and_grad(
             head_fn, argnums=(0, 1), has_aux=True
         )(fake, tgt_feats)
         zeros_src = [jnp.zeros_like(s) for s in src_feats]
@@ -555,6 +604,7 @@ class CUTTrainer:
             "identity_weight": identity_weight,
             "featmatch": fm,
             "palette": pal,
+            "repulsion": rep,
         }
         return new_state, losses
 

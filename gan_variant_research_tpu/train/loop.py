@@ -62,6 +62,30 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
 
     trainer = CUTTrainer(config)
 
+    # Inline training-time metrics + early stopping (the reference's deleted
+    # metrics/ layer — train/inline_metrics.py). Off by default; single-host
+    # only (pods evaluate offline through the EVAL suite).
+    metrics_cfg = config.get("metrics") or {}
+    inline_eval = None
+    early = None
+    if metrics_cfg.get("compute_fid") or metrics_cfg.get("compute_clip_distance"):
+        if jax.process_count() > 1:
+            print("Inline metrics are single-host only; skipping "
+                  "(use the EVAL suite offline)")
+        else:
+            from gan_variant_research_tpu.train.inline_metrics import (
+                EarlyStoppingTracker,
+                InlineEvaluator,
+            )
+
+            inline_eval = InlineEvaluator(config)
+            es_cfg = config.get("early_stop") or {}
+            early = EarlyStoppingTracker(**{
+                k: es_cfg[k] for k in (
+                    "enable", "patience", "fid_plateau_threshold",
+                    "dmin_drop_threshold") if k in es_cfg
+            })
+
     # resolve the resume point BEFORE building the loader: the index streams
     # are fast-forwarded by start_step so the resumed run consumes exactly
     # the batches the uninterrupted run would have (deterministic resume —
@@ -147,8 +171,10 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             tracker.log(s, host["d_loss"], host["g_loss"])
         averager.add(host)
 
+    stop_early = False
+
     def per_step_bookkeeping(s: int):
-        nonlocal t_window, imgs_in_window
+        nonlocal t_window, imgs_in_window, stop_early
         if s % log_every == 0 and s > 0:
             avg = averager.averages()
             dt = time.perf_counter() - t_window
@@ -170,9 +196,21 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
                 config=config, keep_last_n=keep_last_n,
             )
             print(f"\nSaved checkpoint to {path}")
+        if inline_eval is not None and s > 0 and s % inline_eval.eval_every == 0:
+            from gan_variant_research_tpu.train.inline_metrics import (
+                append_metrics_line,
+            )
+
+            m = inline_eval.evaluate(trainer, state)
+            append_metrics_line(log_dir, s, m)
+            print(f"[metrics] step {s}: " + " | ".join(
+                f"{k}: {v:.4f}" for k, v in m.items()))
+            if early is not None and early.update(**m):
+                print(f"Early stopping at step {s}: {early.reason}")
+                stop_early = True
 
     try:
-        while step < max_steps:
+        while step < max_steps and not stop_early:
             if profile_dir and not profiling and step >= profile_span[0]:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True

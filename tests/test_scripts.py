@@ -73,3 +73,21 @@ def test_convert_inception_direct_invocation(tmp_path):
     assert dst.exists()
     data = np.load(dst)
     assert any("Conv2d_1a_3x3" in k or "conv" in k.lower() for k in data.files)
+
+
+def test_build_feature_bank_direct_invocation(image_sets):
+    out_npz = image_sets / "bank.npz"
+    out_margin = image_sets / "margin.json"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "build_feature_bank.py"),
+         "--images", str(image_sets / "real"),
+         "--out", str(out_npz), "--allow-random-weights",
+         "--margin-out", str(out_margin), "--batch-size", "8"],
+        cwd=REPO, env=_clean_env(), capture_output=True, text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with np.load(out_npz) as z:
+        assert z["features"].shape == (12, 2048)
+    meta = json.loads(out_margin.read_text())
+    assert 0.0 <= meta["margin"] <= 2.0 and meta["n_images"] == 12

@@ -237,9 +237,19 @@ def stylize_folder(
         rel = p.relative_to(photos_dir)
         dst = (out_dir / rel).with_suffix(".jpg")
         dst.parent.mkdir(parents=True, exist_ok=True)
-        Image.fromarray(img, "RGB").save(
-            dst, format="JPEG", quality=quality, subsampling=0, optimize=True
-        )
+        # native libjpeg encode (GIL-free, same quality/4:4:4/optimize
+        # contract as the reference's PIL call and decode-identical to it);
+        # PIL fallback when the native codec is unavailable
+        from gan_variant_research_tpu.data.native_loader import encode_jpeg
+
+        data = encode_jpeg(img, quality=quality, subsampling=0, optimize=True)
+        if data is not None:
+            dst.write_bytes(data)
+        else:
+            Image.fromarray(img, "RGB").save(
+                dst, format="JPEG", quality=quality, subsampling=0,
+                optimize=True,
+            )
         return dst
 
     write_futures = []

@@ -159,6 +159,7 @@ CUT_SCHEMA: dict = {
         "monet_dir": str,
         "photos_tfrec": str,
         "monet_tfrec": str,
+        "use_tfrec": bool,
     },
     "output": {"checkpoint_dir": str, "log_dir": str},
     "optim": {

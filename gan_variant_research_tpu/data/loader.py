@@ -59,6 +59,26 @@ class ImageFolderSource:
         return load_image_u8(self.paths[idx], self.size)
 
 
+def make_source(path: str | Path, size: int):
+    """Source factory: TFRecordImageSource for a ``*.tfrec*`` file or a
+    directory containing such files (the Kaggle dataset's native format,
+    data/tfrecord.py); ImageFolderSource otherwise. Both expose the same
+    ``__len__``/``get`` surface, so the epoch streams, multi-host slicing,
+    and resume fast-forward are source-agnostic."""
+    p = Path(path)
+    tfrec_exts = (".tfrec", ".tfrecord")
+    if p.is_file() and p.suffix.lower() in tfrec_exts:
+        from gan_variant_research_tpu.data.tfrecord import TFRecordImageSource
+
+        return TFRecordImageSource(p, size)
+    if p.is_dir() and any(
+            c.suffix.lower() in tfrec_exts for c in p.iterdir()):
+        from gan_variant_research_tpu.data.tfrecord import TFRecordImageSource
+
+        return TFRecordImageSource(p, size)
+    return ImageFolderSource(p, size)
+
+
 class _EpochStream:
     """Infinite stream of GLOBAL batch indices: reshuffles per epoch,
     drop_last=True (matching the reference loaders, train_cutpp.py:139-157).
@@ -68,8 +88,10 @@ class _EpochStream:
     and decodes only its slice, and ``skip(n)`` fast-forwards the stream
     without decoding (deterministic resume)."""
 
-    def __init__(self, source: ImageFolderSource, batch_size: int, seed: int,
+    def __init__(self, source, batch_size: int, seed: int,
                  pool: ThreadPoolExecutor):
+        # source: anything with __len__ and get(idx) -> HWC uint8
+        # (ImageFolderSource or tfrecord.TFRecordImageSource)
         self.source = source
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -151,10 +173,10 @@ class UnpairedLoader:
             )
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.photos = _EpochStream(
-            ImageFolderSource(photos_dir, size), batch_size, seed, self.pool
+            make_source(photos_dir, size), batch_size, seed, self.pool
         )
         self.monets = _EpochStream(
-            ImageFolderSource(monet_dir, size), batch_size, seed + 1, self.pool
+            make_source(monet_dir, size), batch_size, seed + 1, self.pool
         )
         if start_step:
             self.photos.skip(start_step)

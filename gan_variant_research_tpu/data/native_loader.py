@@ -1,9 +1,12 @@
-"""ctypes bindings + on-demand build for the native JPEG decoder.
+"""ctypes bindings + on-demand build for the native host-IO codec.
 
 ``decode_jpeg(path_or_bytes)`` returns an HWC uint8 RGB array or None when
-the native path cannot handle the file (caller falls back to PIL). The
-shared library is compiled once per machine into the package's build dir;
-any build/toolchain failure degrades silently to the PIL path.
+the native path cannot handle the file (caller falls back to PIL).
+``encode_jpeg(arr)`` returns JPEG bytes with the submission contract's
+settings (quality, 4:4:4, optimized Huffman) or None. ``crc32c(data)``
+is the Castagnoli CRC used by TFRecord framing, or None. The shared
+library is compiled once per machine into the package's build dir; any
+build/toolchain failure degrades silently to the PIL / no-verify paths.
 """
 
 from __future__ import annotations
@@ -16,14 +19,15 @@ from pathlib import Path
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).parent / "native"
-_SO_PATH = _NATIVE_DIR / "libgvrjpeg.so"
+_SO_PATH = _NATIVE_DIR / "libgvrnative.so"
+_ABI_VERSION = 2
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
 
 def _build() -> bool:
-    src = _NATIVE_DIR / "jpeg_decoder.cpp"
+    src = _NATIVE_DIR / "codec.cpp"
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO_PATH), str(src),
@@ -35,24 +39,45 @@ def _build() -> bool:
         return False
 
 
+def _open_lib():
+    lib = ctypes.CDLL(str(_SO_PATH))
+    if lib.gvr_version() != _ABI_VERSION:
+        raise OSError("stale libgvrnative.so")
+    lib.gvr_decode_jpeg.restype = ctypes.c_int
+    lib.gvr_decode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_ulong,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.gvr_encode_jpeg.restype = ctypes.c_long
+    lib.gvr_encode_jpeg.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_ulong,
+    ]
+    lib.gvr_crc32c.restype = ctypes.c_uint
+    lib.gvr_crc32c.argtypes = [
+        ctypes.c_char_p, ctypes.c_ulong, ctypes.c_uint,
+    ]
+    return lib
+
+
 def _load():
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _SO_PATH.exists() and not _build():
+        if _SO_PATH.exists():
+            try:
+                _lib = _open_lib()
+                return _lib
+            except OSError:
+                pass  # stale ABI — rebuild below
+        if not _build():
             _build_failed = True
             return None
         try:
-            lib = ctypes.CDLL(str(_SO_PATH))
-            lib.gvr_decode_jpeg.restype = ctypes.c_int
-            lib.gvr_decode_jpeg.argtypes = [
-                ctypes.c_char_p, ctypes.c_ulong,
-                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ]
-            assert lib.gvr_version() == 1
-            _lib = lib
+            _lib = _open_lib()
         except Exception:
             _build_failed = True
         return _lib
@@ -99,3 +124,40 @@ def decode_jpeg(source: str | Path | bytes) -> np.ndarray | None:
         return None
     h, w = out_h.value, out_w.value
     return buf[: h * w * 3].reshape(h, w, 3).copy()
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 95,
+    subsampling: int = 0,
+    optimize: bool = True,
+) -> bytes | None:
+    """Encode an HWC uint8 RGB array to JPEG bytes; None → caller falls
+    back to PIL. ``subsampling=0`` means 4:4:4 (the reference's PIL
+    setting, generate_folder.py:248-250); any other value defers to
+    libjpeg's quality-derived default."""
+    lib = _load()
+    if lib is None:
+        return None
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        return None
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape[:2]
+    capacity = h * w * 3 + (1 << 16)  # uncompressed size + header slack
+    out = np.empty((capacity,), np.uint8)
+    rc = lib.gvr_encode_jpeg(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h, w,
+        int(quality), 1 if subsampling == 0 else 0, 1 if optimize else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), capacity,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int | None:
+    """Castagnoli CRC32 (TFRecord checksums); None when native is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.gvr_crc32c(data, len(data), crc & 0xFFFFFFFF))

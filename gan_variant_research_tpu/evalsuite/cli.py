@@ -100,7 +100,10 @@ def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
     if cfg.get("real_mode") != "folder":
         raise click.ClickException(
             "Only real_mode: folder is supported (the reference CLI rejects "
-            "tfds mode as well, EVAL/eval/cli.py:134-136)")
+            "tfds mode as well, EVAL/eval/cli.py:134-136). TFRecord shards "
+            "can be unpacked bitwise first: python -m "
+            "gan_variant_research_tpu.cli.tfrec_tool unpack --tfrec ... "
+            "--out ...")
     if not cfg["fake_dir"] or not cfg["real_dir"]:
         raise click.ClickException("--fake and --real (or config) are required")
 

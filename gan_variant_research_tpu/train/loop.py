@@ -102,9 +102,18 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             print(f"Resuming from step {start_step} ({path})")
 
     io_cfg = config.get("io") or {}
+    # data.use_tfrec switches to the Kaggle TFRecord shards — the reference
+    # declares photos_tfrec/monet_tfrec (train_gan_cutpp.yaml:11-12) but its
+    # reader is vestigial (photos_dataset.py:93-102); here they work
+    # (data/tfrecord.py)
+    data_cfg = config["data"]
+    if data_cfg.get("use_tfrec"):
+        photos_path, monet_path = data_cfg["photos_tfrec"], data_cfg["monet_tfrec"]
+    else:
+        photos_path, monet_path = data_cfg["photos_dir"], data_cfg["monet_dir"]
     loader = UnpairedLoader(
-        config["data"]["photos_dir"],
-        config["data"]["monet_dir"],
+        photos_path,
+        monet_path,
         batch_size=config["batch_size"],
         size=config["image_size"],
         seed=config.get("seed", 42),

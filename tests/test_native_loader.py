@@ -89,3 +89,45 @@ def test_loader_propagates_decode_errors(tmp_path):
                 next(loader)
     finally:
         loader.close()
+
+
+def test_native_encode_matches_pil_contract(tmp_path):
+    """Native encode (q95, 4:4:4, optimized Huffman) must decode identically
+    to PIL's same-settings output — both drive libjpeg, so the encoded
+    streams match bit-for-bit in practice; assert at the decode level."""
+    from gan_variant_research_tpu.data.native_loader import encode_jpeg
+
+    if not native_available():
+        pytest.skip("toolchain/libjpeg unavailable")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=95, subsampling=0, optimize=True)
+    assert data is not None and data[:3] == b"\xff\xd8\xff"
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95, subsampling=0,
+                              optimize=True)
+    ours = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    pils = np.asarray(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(ours, pils)
+
+
+def test_native_encode_roundtrip_quality():
+    from gan_variant_research_tpu.data.native_loader import encode_jpeg
+
+    if not native_available():
+        pytest.skip("toolchain/libjpeg unavailable")
+    # smooth gradient survives q95 4:4:4 nearly losslessly
+    y = np.linspace(0, 255, 64, dtype=np.uint8)
+    img = np.stack([np.tile(y, (64, 1))] * 3, axis=-1)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 3
+
+
+def test_native_encode_rejects_bad_input():
+    from gan_variant_research_tpu.data.native_loader import encode_jpeg
+
+    if not native_available():
+        pytest.skip("toolchain/libjpeg unavailable")
+    assert encode_jpeg(np.zeros((8, 8), np.uint8)) is None
+    assert encode_jpeg(np.zeros((8, 8, 3), np.float32)) is None

@@ -231,7 +231,7 @@ CUT_SCHEMA: dict = {
         "save_checkpoint_every": int,
     },
     "early_stop": dict,
-    "checkpoint": {"every_steps": int, "keep_last_n": int},
+    "checkpoint": {"every_steps": int, "keep_last_n": int, "async_save": bool},
     "io": {"num_workers": int, "pin_memory": bool, "amp": bool},
     "log": {"every_steps": int, "verbose": bool},
     "clip_features": dict,
@@ -274,6 +274,7 @@ CYCLEGAN_SCHEMA: dict = {
         "log_dir": str,
         "save_every": int,
         "max_steps": int,
+        "async_save": bool,
     },
     "optim": {
         "lr_g": _num,

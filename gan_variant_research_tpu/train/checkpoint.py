@@ -19,8 +19,9 @@ from __future__ import annotations
 import json
 import os
 import re
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
-from typing import Any
+from typing import Any, Callable
 
 import flax.serialization
 import jax
@@ -74,6 +75,71 @@ def save_checkpoint(
         for _, p in steps[:-keep_last_n]:
             p.unlink(missing_ok=True)
     return path
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes that overlap training.
+
+    ``save_checkpoint`` blocks the train loop on device→host fetch +
+    serialization + disk write (the reference's ``torch.save`` blocks the
+    same way, utils/io_ckpt.py:56-87). JAX arrays are immutable, so the
+    state pytree can instead be captured **by reference** and handed to one
+    worker thread that does the fetch/serialize/write while the main thread
+    keeps dispatching steps — the same overlap orbax's async checkpointing
+    exploits, without the dependency. The worker holds the captured arrays
+    alive until its write completes (≤ one extra state of HBM, briefly).
+
+    Semantics:
+    - depth-1 pipeline: ``save()`` first waits for the previous write, so at
+      most one checkpoint is in flight and memory is bounded;
+    - atomicity is inherited from ``save_checkpoint`` (tmp + rename), so a
+      crash mid-write never leaves a partial file for ``latest_checkpoint``;
+    - errors are sticky: a failed write re-raises on every subsequent
+      ``save()``/``wait()``/``close()`` (never silently dropped);
+    - ``on_done(path)`` runs in the worker after the file is durable — use
+      it for "saved" logging that must not lie.
+    """
+
+    def __init__(self):
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer")
+        self._inflight: Future | None = None
+
+    def save(
+        self,
+        path: str | Path,
+        step: int,
+        payload: dict[str, Any],
+        config: dict | None = None,
+        metrics: dict | None = None,
+        keep_last_n: int | None = None,
+        on_done: Callable[[Path], None] | None = None,
+    ) -> Future:
+        self.wait()
+
+        def _job() -> Path:
+            p = save_checkpoint(path, step, payload, config=config,
+                                metrics=metrics, keep_last_n=keep_last_n)
+            if on_done is not None:
+                on_done(p)
+            return p
+
+        self._inflight = self._pool.submit(_job)
+        return self._inflight
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) is durable; re-raise its
+        error. A failure stays sticky (the future is only cleared on
+        success)."""
+        if self._inflight is not None:
+            self._inflight.result()
+            self._inflight = None
+
+    def close(self) -> None:
+        try:
+            self.wait()
+        finally:
+            self._pool.shutdown(wait=True)
 
 
 def load_checkpoint(path: str | Path, target_payload=None) -> dict[str, Any]:

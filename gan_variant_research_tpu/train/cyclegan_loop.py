@@ -12,7 +12,10 @@ from pathlib import Path
 import numpy as np
 
 from gan_variant_research_tpu.data.loader import UnpairedLoader
-from gan_variant_research_tpu.train.checkpoint import save_checkpoint
+from gan_variant_research_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    save_checkpoint,
+)
 from gan_variant_research_tpu.train.cyclegan_trainer import CycleGANTrainer
 from gan_variant_research_tpu.train.loss_tracker import Averager
 
@@ -53,6 +56,10 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
         total_epochs * steps_per_epoch
     )
     save_every = t_cfg.get("save_every", 10)
+    # epoch checkpoints overlap training (training.async_save, default on);
+    # the last save is flushed before the loop returns
+    ckpt_writer = (AsyncCheckpointer()
+                   if is_main and t_cfg.get("async_save", True) else None)
     averager = Averager()
 
     step = 0
@@ -79,11 +86,27 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
                     raise ValueError(f"NaN loss at epoch {epoch}: {avg}")
                 if (epoch % save_every == 0 or step == max_steps) and is_main:
                     path = save_dir / f"ckpt_e{epoch}.msgpack"
-                    save_checkpoint(
-                        path, int(state.step), trainer.checkpoint_payload(state),
-                        config=config, metrics={"epoch": epoch},
-                    )
-                    print(f"Saved checkpoint to {path}")
+                    if ckpt_writer is not None:
+                        ckpt_writer.save(
+                            path, int(state.step),
+                            trainer.checkpoint_payload(state),
+                            config=config, metrics={"epoch": epoch},
+                            on_done=lambda p: print(f"Saved checkpoint to {p}"),
+                        )
+                    else:
+                        save_checkpoint(
+                            path, int(state.step),
+                            trainer.checkpoint_payload(state),
+                            config=config, metrics={"epoch": epoch},
+                        )
+                        print(f"Saved checkpoint to {path}")
+        if ckpt_writer is not None:
+            ckpt_writer.wait()  # surface any pending write error on success
     finally:
+        if ckpt_writer is not None:
+            try:
+                ckpt_writer.close()
+            except Exception:
+                pass  # success path already surfaced this via wait()
         loader.close()
     return state, trainer

@@ -23,6 +23,7 @@ import numpy as np
 
 from gan_variant_research_tpu.data.loader import UnpairedLoader
 from gan_variant_research_tpu.train.checkpoint import (
+    AsyncCheckpointer,
     latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -150,7 +151,12 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     ckpt_every = (config.get("metrics") or {}).get(
         "save_checkpoint_every", (config.get("checkpoint") or {}).get("every_steps", 2000)
     )
-    keep_last_n = (config.get("checkpoint") or {}).get("keep_last_n", 5)
+    ckpt_cfg = config.get("checkpoint") or {}
+    keep_last_n = ckpt_cfg.get("keep_last_n", 5)
+    # periodic saves overlap training by default (checkpoint.async_save);
+    # the final checkpoint is always written synchronously
+    ckpt_writer = (AsyncCheckpointer()
+                   if is_main and ckpt_cfg.get("async_save", True) else None)
 
     pending: list[tuple[int, dict]] = []  # one-step-delayed loss fetch
     step = start_step
@@ -200,11 +206,20 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             imgs_in_window = 0
         if s % ckpt_every == 0 and s > 0 and is_main:
             path = ckpt_dir / f"ckpt_step{s}.msgpack"
-            save_checkpoint(
-                path, int(state.step), trainer.checkpoint_payload(state),
-                config=config, keep_last_n=keep_last_n,
-            )
-            print(f"\nSaved checkpoint to {path}")
+            if ckpt_writer is not None:
+                # state arrays are immutable — capture by reference, write in
+                # the background; the "Saved" line prints once durable
+                ckpt_writer.save(
+                    path, int(state.step), trainer.checkpoint_payload(state),
+                    config=config, keep_last_n=keep_last_n,
+                    on_done=lambda p: print(f"\nSaved checkpoint to {p}"),
+                )
+            else:
+                save_checkpoint(
+                    path, int(state.step), trainer.checkpoint_payload(state),
+                    config=config, keep_last_n=keep_last_n,
+                )
+                print(f"\nSaved checkpoint to {path}")
         if inline_eval is not None and s > 0 and s % inline_eval.eval_every == 0:
             from gan_variant_research_tpu.train.inline_metrics import (
                 append_metrics_line,
@@ -258,6 +273,8 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             drain(pending.pop(0))
 
         if is_main:
+            if ckpt_writer is not None:
+                ckpt_writer.wait()  # surface any pending write error here
             final = ckpt_dir / "ckpt_final.msgpack"
             save_checkpoint(final, int(state.step),
                             trainer.checkpoint_payload(state), config=config)
@@ -265,6 +282,13 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     finally:
         if profiling:
             jax.profiler.stop_trace()
+        if ckpt_writer is not None:
+            try:
+                ckpt_writer.close()  # flush pending write on every exit path
+            except Exception:
+                # success paths already surfaced this via wait(); don't mask
+                # an in-flight training exception with the write error
+                pass
         if tracker is not None:
             tracker.close()
         loader.close()

@@ -1,0 +1,213 @@
+"""AsyncCheckpointer: byte-identical output, depth-1 pipelining, sticky
+errors, keep_last_n under async, and the train-loop wiring.
+
+The reference's ``torch.save`` blocks the loop (utils/io_ckpt.py:56-87); the
+async writer overlaps the fetch/serialize/write with training. These tests
+pin the semantics that make that safe.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from gan_variant_research_tpu.train import checkpoint as ckpt
+from gan_variant_research_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _payload(seed: int) -> dict:
+    rng = np.random.default_rng(seed)
+    return {"g": {"w": rng.normal(size=(4, 3)).astype(np.float32)},
+            "ema": {"w": rng.normal(size=(4, 3)).astype(np.float32)}}
+
+
+def test_async_bytes_identical_to_sync(tmp_path):
+    payload = _payload(0)
+    sync_p = save_checkpoint(tmp_path / "sync.msgpack", 7, payload,
+                             config={"a": 1}, metrics={"m": 2.0})
+    w = AsyncCheckpointer()
+    try:
+        w.save(tmp_path / "async.msgpack", 7, payload,
+               config={"a": 1}, metrics={"m": 2.0})
+        w.wait()
+    finally:
+        w.close()
+    assert (tmp_path / "async.msgpack").read_bytes() == sync_p.read_bytes()
+
+
+def test_async_restores_correctly(tmp_path):
+    payload = _payload(1)
+    w = AsyncCheckpointer()
+    try:
+        w.save(tmp_path / "c.msgpack", 3, payload)
+        w.wait()
+    finally:
+        w.close()
+    got = load_checkpoint(tmp_path / "c.msgpack", target_payload=payload)
+    assert got["step"] == 3
+    np.testing.assert_array_equal(got["payload"]["g"]["w"], payload["g"]["w"])
+
+
+def test_save_returns_before_write_and_next_save_waits(tmp_path, monkeypatch):
+    """save() must not block on the write itself, but a second save() must
+    wait for the first (depth-1 pipeline)."""
+    release = threading.Event()
+    started = threading.Event()
+    real_save = ckpt.save_checkpoint
+
+    def slow_save(*args, **kwargs):
+        started.set()
+        assert release.wait(10), "test deadlock"
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(ckpt, "save_checkpoint", slow_save)
+    w = AsyncCheckpointer()
+    try:
+        t0 = time.perf_counter()
+        w.save(tmp_path / "a.msgpack", 1, _payload(2))
+        assert time.perf_counter() - t0 < 5  # returned while write is stuck
+        assert started.wait(10)
+        assert not (tmp_path / "a.msgpack").exists()  # still in flight
+
+        done = threading.Event()
+        t = threading.Thread(
+            target=lambda: (w.save(tmp_path / "b.msgpack", 2, _payload(3)),
+                            done.set()))
+        t.start()
+        time.sleep(0.2)
+        assert not done.is_set()  # second save blocked on the first
+        release.set()
+        t.join(10)
+        assert done.is_set()
+        w.wait()
+    finally:
+        release.set()
+        w.close()
+    assert (tmp_path / "a.msgpack").exists()
+    assert (tmp_path / "b.msgpack").exists()
+
+
+def test_errors_are_sticky(tmp_path):
+    w = AsyncCheckpointer()
+    try:
+        # a directory path makes the atomic rename fail in the worker
+        target = tmp_path / "taken.msgpack"
+        target.mkdir()
+        w.save(target, 1, _payload(4))
+        with pytest.raises(OSError):
+            w.wait()
+        with pytest.raises(OSError):  # sticky: raises again, not dropped
+            w.save(tmp_path / "ok.msgpack", 2, _payload(5))
+    finally:
+        with pytest.raises(OSError):
+            w.close()
+
+
+def test_on_done_runs_after_durable_write(tmp_path):
+    seen = []
+    w = AsyncCheckpointer()
+    try:
+        w.save(tmp_path / "c.msgpack", 1, _payload(6),
+               on_done=lambda p: seen.append((p, p.exists())))
+        w.wait()
+    finally:
+        w.close()
+    assert seen == [(tmp_path / "c.msgpack", True)]
+
+
+def test_keep_last_n_enforced_async(tmp_path):
+    w = AsyncCheckpointer()
+    try:
+        for s in (2, 4, 6, 8):
+            w.save(tmp_path / f"ckpt_step{s}.msgpack", s, _payload(s),
+                   keep_last_n=2)
+        w.wait()
+    finally:
+        w.close()
+    left = sorted(p.name for p in tmp_path.glob("ckpt_step*.msgpack"))
+    assert left == ["ckpt_step6.msgpack", "ckpt_step8.msgpack"]
+    assert latest_checkpoint(tmp_path).name == "ckpt_step8.msgpack"
+
+
+def test_schema_accepts_async_save():
+    from gan_variant_research_tpu.core.config import (
+        CUT_SCHEMA,
+        CYCLEGAN_SCHEMA,
+        validate_config,
+    )
+
+    validate_config({"checkpoint": {"async_save": False}}, CUT_SCHEMA)
+    validate_config({"training": {"async_save": False}}, CYCLEGAN_SCHEMA)
+
+
+def _tiny_cut_config(tmp_path, data_dir, async_save: bool) -> dict:
+    return {
+        "image_size": 32,
+        "batch_size": 8,  # divisible by the 8-device virtual test mesh
+        "seed": 0,
+        "warmup_steps": 2,
+        "max_steps": 4,
+        "grad_clip_g": 10.0,
+        "grad_clip_d": 10.0,
+        "data": {"photos_dir": str(data_dir), "monet_dir": str(data_dir)},
+        "output": {"checkpoint_dir": str(tmp_path / "ckpt"),
+                   "log_dir": str(tmp_path / "logs")},
+        "optim": {"G": {"lr": 2e-4, "betas": [0.5, 0.999]},
+                  "D": {"lr": 2e-4, "betas": [0.5, 0.999]}},
+        "loss_weights": {"adv": 1.0, "patchnce": 1.0,
+                         "identity_warm": 0.1, "identity_final": 0.0},
+        "model": {"generator": {"ngf": 4, "n_blocks": 2},
+                  "discriminator": {"ndf": 4, "n_layers": 2, "num_scales": 1}},
+        "patchnce": {"num_patches": 16, "temperature": 0.07,
+                     "nce_layers": [0, 4, 8, 12, 16]},
+        "diffaugment": {"enable": False},
+        "r1": {"gamma": 10.0, "every": 2},
+        "ema": {"decay": 0.999},
+        "metrics": {"save_checkpoint_every": 2},
+        "checkpoint": {"keep_last_n": 5, "async_save": async_save},
+        "log": {"every_steps": 1, "verbose": False},
+        "runtime": {"precision": "fp32"},
+        "parallel": {},
+    }
+
+
+def test_loop_async_checkpoints_match_sync(tmp_path):
+    """The CUT loop with async saves produces the same checkpoint files
+    (same steps, same restored params) as the blocking path."""
+    from PIL import Image
+
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        ).save(data / f"{i}.jpg")
+
+    outs = {}
+    for mode, async_save in (("async", True), ("sync", False)):
+        root = tmp_path / mode
+        train_cut(_tiny_cut_config(root, data, async_save))
+        steps = sorted(p.name for p in (root / "ckpt").glob("ckpt_step*"))
+        assert steps == ["ckpt_step2.msgpack"], steps
+        outs[mode] = root / "ckpt"
+        assert (root / "ckpt" / "ckpt_final.msgpack").exists()
+
+    a = load_checkpoint(outs["async"] / "ckpt_step2.msgpack")
+    s = load_checkpoint(outs["sync"] / "ckpt_step2.msgpack")
+    assert a["step"] == s["step"]
+    af = np.concatenate([np.ravel(x) for x in
+                         __import__("jax").tree_util.tree_leaves(a["payload"])])
+    sf = np.concatenate([np.ravel(x) for x in
+                         __import__("jax").tree_util.tree_leaves(s["payload"])])
+    np.testing.assert_array_equal(af, sf)

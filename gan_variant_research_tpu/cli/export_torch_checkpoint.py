@@ -83,6 +83,23 @@ def generator_params_to_state_dict(params: dict,
         put_conv(f"up_{i}", f"upsample.{3 * i}", transpose=True)
 
     put_conv("output_conv", f"output.{stem_i}")
+
+    # Fail loudly on anything the reference's baseline state_dict cannot
+    # represent (trained attention/style-gate variants, models/attention.py):
+    # silently dropping those params would export a generator that produces
+    # different images with no warning.
+    consumed = ({"initial_conv", "output_conv"}
+                | {f"down_{i}" for i in range(n_down)}
+                | {f"res_{i}" for i in range(n_blocks)}
+                | {f"up_{i}" for i in range(n_down)})
+    extra = sorted(set(params) - consumed)
+    if extra:
+        raise ValueError(
+            "Param tree has modules the reference's baseline "
+            f"ResNetGenerator.state_dict() cannot represent: {extra}. "
+            "Variant checkpoints (use_attention / use_channel_attn / "
+            "use_style_dropout) are not exportable to the torch layout."
+        )
     return sd
 
 

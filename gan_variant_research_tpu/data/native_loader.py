@@ -71,8 +71,11 @@ def _load():
             try:
                 _lib = _open_lib()
                 return _lib
-            except OSError:
-                pass  # stale ABI — rebuild below
+            except Exception:
+                # stale ABI (OSError), or a foreign/corrupt .so that dlopens
+                # but lacks our symbols (AttributeError) — rebuild below; the
+                # module contract is that ANY load failure degrades to PIL
+                pass
         if not _build():
             _build_failed = True
             return None

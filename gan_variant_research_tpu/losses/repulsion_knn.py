@@ -44,14 +44,23 @@ def normalize_rows(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
-def min_cosine_distances(embeds: jnp.ndarray, bank: jnp.ndarray) -> jnp.ndarray:
+def min_cosine_distances(
+    embeds: jnp.ndarray,
+    bank: jnp.ndarray,
+    bank_normalized: bool = False,
+) -> jnp.ndarray:
     """Per-row min cosine distance from ``embeds`` (B,D) to ``bank`` (N,D).
 
     The bank is treated as a constant (stop-gradient): repulsion moves the
-    generator, never the reference features. Returns (B,) in [0, 2].
+    generator, never the reference features. Pass ``bank_normalized=True``
+    when the bank rows were L2-normalized once at load time (the trainer
+    does this) so the per-step work is only the B embedding rows, not the
+    whole bank. Returns (B,) in [0, 2].
     """
     e = normalize_rows(embeds)
-    b = normalize_rows(jax.lax.stop_gradient(bank))
+    b = jax.lax.stop_gradient(bank)
+    if not bank_normalized:
+        b = normalize_rows(b)
     sims = e @ b.T                       # (B, N), one MXU matmul
     return 1.0 - jnp.max(sims, axis=-1)
 
@@ -60,6 +69,7 @@ def repulsion_loss(
     embeds: jnp.ndarray,
     bank: jnp.ndarray,
     margin: float,
+    bank_normalized: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hinge repulsion from the nearest bank neighbor.
 
@@ -67,6 +77,6 @@ def repulsion_loss(
     min distances (for d_min monitoring — the early-stop tracker watches
     their collapse as a memorization alarm).
     """
-    d_min = min_cosine_distances(embeds, bank)
+    d_min = min_cosine_distances(embeds, bank, bank_normalized=bank_normalized)
     loss = jnp.mean(jax.nn.relu(margin - d_min))
     return loss, d_min

@@ -92,6 +92,12 @@ class AsyncCheckpointer:
     Semantics:
     - depth-1 pipeline: ``save()`` first waits for the previous write, so at
       most one checkpoint is in flight and memory is bounded;
+    - ``snapshot=True`` fetches the payload to host ON THE CALLER THREAD
+      before enqueueing. Required when the train step donates its state
+      buffers (``runtime.donate``): capture-by-reference is only safe while
+      the buffers stay alive, and the next donated step invalidates them —
+      the worker would read deleted arrays. With a snapshot only the
+      serialize+write overlaps training (still the slow half: disk I/O);
     - atomicity is inherited from ``save_checkpoint`` (tmp + rename), so a
       crash mid-write never leaves a partial file for ``latest_checkpoint``;
     - errors are sticky: a failed write re-raises on every subsequent
@@ -114,8 +120,12 @@ class AsyncCheckpointer:
         metrics: dict | None = None,
         keep_last_n: int | None = None,
         on_done: Callable[[Path], None] | None = None,
+        snapshot: bool = False,
     ) -> Future:
         self.wait()
+        if snapshot:
+            # donated buffers die at the next step — copy to host now
+            payload = _to_host(payload)
 
         def _job() -> Path:
             p = save_checkpoint(path, step, payload, config=config,

@@ -186,10 +186,22 @@ class CUTTrainer:
             margin = float(rep_cfg.get(
                 "margin", load_margin(clip_cfg.get("margin_path"))
             ))
+            # Place via a jitted identity, not jax.device_put: device_put
+            # rejects shardings spanning non-addressable devices, so the
+            # direct put breaks on multi-host pods (same contract as
+            # replicate_state — every process holds identical host data).
+            # The bank is L2-normalized ONCE here; the step then skips the
+            # per-step renormalization of a constant.
+            from gan_variant_research_tpu.losses.repulsion_knn import (
+                normalize_rows,
+            )
+
             rep_sh = self.mesh.replicated()
-            inc_params = jax.device_put(load_inception_params(clip_cfg), rep_sh)
+            _put = jax.jit(lambda t: t, out_shardings=rep_sh)
+            inc_params = _put(load_inception_params(clip_cfg))
             self._repulsion = {
-                "bank": jax.device_put(jnp.asarray(bank, jnp.float32), rep_sh),
+                "bank": jax.jit(normalize_rows, out_shardings=rep_sh)(
+                    np.asarray(bank, np.float32)),
                 "margin": margin,
                 "embed": make_embed_fn(inc_params),
             }
@@ -200,6 +212,9 @@ class CUTTrainer:
         from gan_variant_research_tpu.parallel.mesh import validate_donation
 
         donate = validate_donation(bool(runtime.get("donate", False)))
+        # loops consult this to snapshot checkpoint payloads before the next
+        # donated step invalidates the captured buffers (AsyncCheckpointer)
+        self.donate = donate
         rep = self.mesh.replicated()
         batch_sh = self.mesh.batch_sharding(4)
         # do_r1 / do_identity are STATIC: the host decides them from the step
@@ -543,6 +558,7 @@ class CUTTrainer:
                     self._repulsion["embed"](fake_h),
                     self._repulsion["bank"],
                     self._repulsion["margin"],
+                    bank_normalized=True,
                 )
             else:
                 rep = jnp.zeros((), jnp.float32)

@@ -23,14 +23,18 @@ from gan_variant_research_tpu.train.loss_tracker import Averager
 def train_cyclegan(config: dict, max_steps_override: int | None = None):
     import jax
 
-    from gan_variant_research_tpu.data.folders import list_images
+    from gan_variant_research_tpu.data.loader import make_source
     from gan_variant_research_tpu.parallel.mesh import process_batch_bounds
 
     data_cfg = config["data"]
     t_cfg = config["training"]
     root = Path(data_cfg["root"])
-    n_a = len(list_images(root / data_cfg["domain_a"]))
-    n_b = len(list_images(root / data_cfg["domain_b"]))
+    # count through make_source, not list_images: the domains may be
+    # TFRecord shards (data/tfrecord.py), where an image glob returns 0 and
+    # would silently truncate training to zero steps
+    load_size = data_cfg.get("load_size", 286)
+    n_a = len(make_source(root / data_cfg["domain_a"], load_size))
+    n_b = len(make_source(root / data_cfg["domain_b"], load_size))
     steps_per_epoch = max(n_a, n_b) // t_cfg["batch_size"]
     trainer = CycleGANTrainer(config, steps_per_epoch=steps_per_epoch)
     loader = UnpairedLoader(
@@ -92,6 +96,8 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
                             trainer.checkpoint_payload(state),
                             config=config, metrics={"epoch": epoch},
                             on_done=lambda p: print(f"Saved checkpoint to {p}"),
+                            # donated buffers die at the next step
+                            snapshot=trainer.donate,
                         )
                     else:
                         save_checkpoint(

@@ -133,6 +133,9 @@ class CycleGANTrainer:
         from gan_variant_research_tpu.parallel.mesh import validate_donation
 
         donate = validate_donation(bool(runtime.get("donate", False)))
+        # loops consult this to snapshot checkpoint payloads before the next
+        # donated step invalidates the captured buffers (AsyncCheckpointer)
+        self.donate = donate
         rep = self.mesh.replicated()
         bsh = self.mesh.batch_sharding(4)
         self.train_step = jax.jit(

@@ -113,6 +113,16 @@ def ensure_feature_bank(clip_cfg: dict, images_dir: str | Path | None) -> np.nda
     if images_dir is None:
         raise ValueError("cannot build the feature bank: no target-domain "
                          "image directory configured (data.monet_dir)")
+    if jax.process_count() > 1:
+        # every process would race to write the same npz, and the build's
+        # single-host inception forwards don't compose with a pod mesh —
+        # prebuild once instead
+        raise RuntimeError(
+            f"feature bank {bank_path} not found in a multi-process run; "
+            "build_on_first_run is single-host only. Prebuild it with "
+            "`python scripts/build_feature_bank.py` and point "
+            "clip_features.monet_feats_path at the result."
+        )
     return build_feature_bank(
         images_dir, bank_path,
         weights_path=clip_cfg.get("weights_path"),

@@ -92,8 +92,7 @@ class InlineEvaluator:
     """
 
     def __init__(self, config: dict):
-        from gan_variant_research_tpu.data.folders import list_images
-        from gan_variant_research_tpu.data.loader import load_image_u8
+        from gan_variant_research_tpu.data.loader import make_source
         from gan_variant_research_tpu.evalsuite.frechet import gaussian_stats
         from gan_variant_research_tpu.train.feature_bank import (
             ensure_feature_bank,
@@ -118,10 +117,16 @@ class InlineEvaluator:
 
         num_samples = int((config.get("eval") or {}).get("num_samples", 10))
         size = int(config.get("image_size", 256))
-        paths = list_images(config["data"]["photos_dir"])[:num_samples]
-        if not paths:
+        # probe photos through make_source, mirroring the training loader's
+        # input selection: folder OR TFRecord shards (data.use_tfrec)
+        data_cfg = config["data"]
+        photos_path = (data_cfg["photos_tfrec"] if data_cfg.get("use_tfrec")
+                       else data_cfg["photos_dir"])
+        source = make_source(photos_path, size)
+        n = min(num_samples, len(source))
+        if n == 0:
             raise FileNotFoundError("no probe photos for inline metrics")
-        probe_u8 = np.stack([load_image_u8(p, size=size) for p in paths])
+        probe_u8 = np.stack([source.get(i) for i in range(n)])
         self._probe = jnp.asarray(
             (probe_u8.astype(np.float32) / 255.0) * 2.0 - 1.0)
         self._gen_jit = None  # jitted EMA generate, built on first evaluate

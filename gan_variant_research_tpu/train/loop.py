@@ -213,6 +213,9 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
                     path, int(state.step), trainer.checkpoint_payload(state),
                     config=config, keep_last_n=keep_last_n,
                     on_done=lambda p: print(f"\nSaved checkpoint to {p}"),
+                    # under donation the next step frees these buffers —
+                    # fetch to host before dispatching it
+                    snapshot=trainer.donate,
                 )
             else:
                 save_checkpoint(

@@ -211,3 +211,37 @@ def test_loop_async_checkpoints_match_sync(tmp_path):
     sf = np.concatenate([np.ravel(x) for x in
                          __import__("jax").tree_util.tree_leaves(s["payload"])])
     np.testing.assert_array_equal(af, sf)
+
+
+def test_snapshot_survives_buffer_deletion(tmp_path, monkeypatch):
+    """``snapshot=True`` must fetch to host on the caller thread: under
+    ``runtime.donate`` the next step frees the captured device buffers —
+    simulated here with an explicit ``.delete()`` while the worker is gated
+    behind an event, so without the snapshot the write would read deleted
+    arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    release = threading.Event()
+    orig = ckpt.save_checkpoint
+
+    def gated(*a, **k):
+        assert release.wait(10.0), "test gate never released"
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ckpt, "save_checkpoint", gated)
+
+    dev = {"g": {"w": jnp.arange(12, dtype=jnp.float32).reshape(4, 3) + 1.0}}
+    expect = np.asarray(dev["g"]["w"])
+    w = AsyncCheckpointer()
+    try:
+        w.save(tmp_path / "c.msgpack", 1, dev, snapshot=True)
+        for leaf in jax.tree_util.tree_leaves(dev):
+            leaf.delete()  # what the next donated step does to the buffers
+        release.set()
+        w.wait()
+    finally:
+        release.set()
+        w.close()
+    got = load_checkpoint(tmp_path / "c.msgpack")
+    np.testing.assert_array_equal(got["payload"]["g"]["w"], expect)

@@ -115,3 +115,38 @@ def test_loop_early_stops_and_writes_metrics_log(metrics_ws):
              (metrics_ws / "es_logs" / "metrics_log.jsonl").read_text()
              .strip().splitlines()]
     assert lines and set(lines[0]) == {"step", "fid", "d_min"}
+
+
+def test_inline_evaluator_probe_from_tfrec(metrics_ws, tmp_path):
+    """With data.use_tfrec the probe batch must come from the TFRecord
+    source, mirroring the training loader (the old code globbed
+    photos_dir and crashed on TFRecord-only datasets)."""
+    import io
+
+    from gan_variant_research_tpu.data import tfrecord as tfr
+    from gan_variant_research_tpu.train.inline_metrics import InlineEvaluator
+
+    rng = np.random.default_rng(9)
+    d = tmp_path / "photos_tfrec"
+    d.mkdir()
+
+    def jpeg_bytes():
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG", quality=90)
+        return buf.getvalue()
+
+    tfr.write_tfrecord(d / "part-00.tfrec", [
+        tfr.make_example({"image_name": f"{i}.jpg", "image": jpeg_bytes()})
+        for i in range(3)
+    ])
+
+    cfg = _metrics_config(metrics_ws)
+    cfg["data"] = dict(cfg["data"])
+    cfg["data"]["use_tfrec"] = True
+    cfg["data"]["photos_tfrec"] = str(d)
+    cfg["data"]["photos_dir"] = str(tmp_path / "does_not_exist")
+    ev = InlineEvaluator(cfg)
+    # 3 probe images (capped by the source), at the configured size
+    assert ev._probe.shape == (3, cfg["image_size"], cfg["image_size"], 3)

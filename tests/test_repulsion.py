@@ -170,3 +170,21 @@ def test_embed_fn_shapes_and_grad(rng):
     assert feats.shape == (2, 2048) and bool(jnp.all(jnp.isfinite(feats)))
     g = jax.grad(lambda im: jnp.sum(embed(im) ** 2))(x)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_bank_normalized_flag_equivalence():
+    """Pre-normalizing the bank once (what the trainer now does) must give
+    the same distances as the self-normalizing form."""
+    from gan_variant_research_tpu.losses.repulsion_knn import normalize_rows
+
+    local = np.random.default_rng(11)
+    e = jnp.asarray(local.normal(size=(4, 16)).astype(np.float32))
+    b = jnp.asarray(local.normal(size=(8, 16)).astype(np.float32))
+    ref = np.asarray(min_cosine_distances(e, b))
+    got = np.asarray(
+        min_cosine_distances(e, normalize_rows(b), bank_normalized=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    lr, _ = repulsion_loss(e, b, margin=0.5)
+    lg, _ = repulsion_loss(e, normalize_rows(b), margin=0.5,
+                           bank_normalized=True)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lr), rtol=1e-6)

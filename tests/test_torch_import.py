@@ -288,3 +288,19 @@ def test_export_trained_checkpoint_serves_reference_module(tmp_path, rng):
     y_j = np.asarray(trainer.generator.apply(
         {"params": state.g_params}, jnp.asarray(x)))
     np.testing.assert_allclose(y_j, y_t, atol=2e-5, rtol=1e-4)
+
+
+def test_export_rejects_variant_params():
+    """Attention/style-gate params have no slot in the reference's baseline
+    state_dict; exporting them must fail loudly instead of silently writing
+    a generator that produces different images."""
+    from gan_variant_research_tpu.cli.export_torch_checkpoint import (
+        generator_params_to_state_dict,
+    )
+    from gan_variant_research_tpu.models import ResNetGenerator
+
+    gen = ResNetGenerator(ngf=8, n_blocks=2, use_attention=True,
+                          attn_layers=(1,))
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    with pytest.raises(ValueError, match="attn_1"):
+        generator_params_to_state_dict(params)

@@ -33,6 +33,29 @@ from gan_variant_research_tpu.train.loss_tracker import Averager, LossTracker
 from gan_variant_research_tpu.train.plotting import plot_training_losses
 
 
+def resolve_ckpt_every(config: dict) -> int:
+    """Checkpoint cadence in steps.
+
+    The reference reads ``metrics.save_checkpoint_every`` (train_cutpp.py:464)
+    and ships a dead ``checkpoint.every_steps`` key in the same YAML
+    (train_gan_cutpp.yaml:107,118 — SURVEY §2.6-3's silent-drift class). We
+    honor either, but a user who sets one must not be silently overridden by
+    the other's YAML default: if both are present and disagree, fail loudly.
+    """
+    m = (config.get("metrics") or {}).get("save_checkpoint_every")
+    c = (config.get("checkpoint") or {}).get("every_steps")
+    if m is not None and c is not None and int(m) != int(c):
+        raise ValueError(
+            f"metrics.save_checkpoint_every={m} and checkpoint.every_steps={c} "
+            "disagree. They are aliases for the checkpoint cadence (the "
+            "reference reads metrics.save_checkpoint_every and ignores "
+            "checkpoint.every_steps); set both to the same value or drop one "
+            "from the config."
+        )
+    value = m if m is not None else c
+    return int(value) if value is not None else 2000
+
+
 def _check_finite(step: int, losses: dict):
     bad = {k: v for k, v in losses.items()
            if k != "identity_weight" and not np.isfinite(v)}
@@ -148,9 +171,7 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
     print(f"Training for {max_steps} steps")
 
     log_every = (config.get("log") or {}).get("every_steps", config.get("log_every", 100))
-    ckpt_every = (config.get("metrics") or {}).get(
-        "save_checkpoint_every", (config.get("checkpoint") or {}).get("every_steps", 2000)
-    )
+    ckpt_every = resolve_ckpt_every(config)
     ckpt_cfg = config.get("checkpoint") or {}
     keep_last_n = ckpt_cfg.get("keep_last_n", 5)
     # periodic saves overlap training by default (checkpoint.async_save);

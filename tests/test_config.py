@@ -77,3 +77,22 @@ def test_schemas_cover_every_consumed_runtime_key():
         {"runtime": cyc_runtime,
          "parallel": {"data_axis": "data", "num_devices": 2, "multihost": False}},
         CYCLEGAN_SCHEMA, strict=True) == []
+
+
+def test_resolve_ckpt_every_alias_rules():
+    """metrics.save_checkpoint_every and checkpoint.every_steps are aliases
+    (the reference reads the former and ships the latter as a dead key,
+    train_cutpp.py:464 / train_gan_cutpp.yaml:107,118). Either alone works;
+    agreement works; silent shadowing is replaced by a loud error."""
+    import pytest
+
+    from gan_variant_research_tpu.train.loop import resolve_ckpt_every
+
+    assert resolve_ckpt_every({}) == 2000
+    assert resolve_ckpt_every({"metrics": {"save_checkpoint_every": 500}}) == 500
+    assert resolve_ckpt_every({"checkpoint": {"every_steps": 300}}) == 300
+    assert resolve_ckpt_every({"metrics": {"save_checkpoint_every": 700},
+                               "checkpoint": {"every_steps": 700}}) == 700
+    with pytest.raises(ValueError, match="disagree"):
+        resolve_ckpt_every({"metrics": {"save_checkpoint_every": 2000},
+                            "checkpoint": {"every_steps": 500}})

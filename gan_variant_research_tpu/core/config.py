@@ -51,6 +51,20 @@ def _coerce(value: str) -> Any:
         return float(value)
     except ValueError:
         pass
+    if value.startswith("[") and value.endswith("]"):
+        # list values (e.g. --set model.generator.attn_layers=[1,3]): the
+        # reference's coercion has no list case, so bracketed values fell
+        # through as STRINGS and silently disabled whatever consumed them
+        import yaml
+
+        try:
+            parsed = yaml.safe_load(value)
+        except yaml.YAMLError:
+            return value
+        if isinstance(parsed, list) and all(
+            isinstance(x, (bool, int, float, str)) or x is None for x in parsed
+        ):
+            return parsed
     return value
 
 

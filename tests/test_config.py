@@ -96,3 +96,23 @@ def test_resolve_ckpt_every_alias_rules():
     with pytest.raises(ValueError, match="disagree"):
         resolve_ckpt_every({"metrics": {"save_checkpoint_every": 2000},
                             "checkpoint": {"every_steps": 500}})
+
+
+def test_override_coerces_bracketed_lists():
+    """--set foo=[1,3] must become a real list: the reference-mirrored
+    coercion had no list case, so bracketed values fell through as strings
+    and silently disabled consumers like model.generator.attn_layers."""
+    from gan_variant_research_tpu.core.config import override_config
+
+    cfg = override_config({}, [
+        "model.generator.attn_layers=[1,3]",
+        "patchnce.nce_layers=[0, 4, 8]",
+        "a.floats=[0.5,1.5]",
+        "a.not_a_list=[unclosed",
+        "a.bracket_string=[a: b]",  # YAML parses to a dict → keep the string
+    ])
+    assert cfg["model"]["generator"]["attn_layers"] == [1, 3]
+    assert cfg["patchnce"]["nce_layers"] == [0, 4, 8]
+    assert cfg["a"]["floats"] == [0.5, 1.5]
+    assert cfg["a"]["not_a_list"] == "[unclosed"
+    assert cfg["a"]["bracket_string"] == "[a: b]"

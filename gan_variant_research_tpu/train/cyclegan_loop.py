@@ -52,8 +52,16 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
 
     is_main = jax.process_index() == 0
     save_dir = Path(t_cfg["save_dir"])
+    # per-epoch machine-readable metrics (the reference's Basic_GAN only
+    # prints to stdout, src/train.py:118-123; the JSON-lines sink mirrors the
+    # CUT loop's train_log.txt contract)
+    log_path = (Path(t_cfg["log_dir"]) / "cyclegan_log.jsonl"
+                if t_cfg.get("log_dir") else None)
     if is_main:
         save_dir.mkdir(parents=True, exist_ok=True)
+        if log_path:
+            log_path.parent.mkdir(parents=True, exist_ok=True)
+            log_path.write_text("")  # one file per run, not per process life
 
     total_epochs = t_cfg["epochs"]
     max_steps = max_steps_override or t_cfg.get("max_steps") or (
@@ -85,6 +93,13 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
                         + " | ".join(f"{k}: {v:.3f}" for k, v in avg.items())
                         + f" | {rate:.1f} img/s"
                     )
+                    if log_path:
+                        import json
+
+                        with open(log_path, "a") as f:
+                            f.write(json.dumps(
+                                {"epoch": epoch, "step": step, **avg,
+                                 "images_per_sec": rate}) + "\n")
                 averager.clear()
                 if any(not np.isfinite(v) for v in avg.values()):
                     raise ValueError(f"NaN loss at epoch {epoch}: {avg}")

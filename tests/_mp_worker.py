@@ -50,6 +50,25 @@ def build_config(data_dir: str, out_dir: str) -> dict:
     }
 
 
+def build_cyclegan_config(data_dir: str, out_dir: str) -> dict:
+    """Micro CycleGAN config: 8 images per domain at batch 8 → 1 step per
+    epoch, so the loop's per-epoch JSON-lines metrics are per-step."""
+    return {
+        "data": {"root": data_dir, "domain_a": "photos", "domain_b": "monet",
+                 "img_size": 24, "load_size": 28, "num_workers": 2},
+        "training": {"epochs": 4, "batch_size": 8, "amp": False, "seed": 42,
+                     "save_dir": f"{out_dir}/ckpt", "log_dir": f"{out_dir}/logs",
+                     "save_every": 100},
+        "optim": {"lr_g": 2e-4, "lr_d": 2e-4, "betas": [0.5, 0.999],
+                  "lr_decay_after": 2},
+        "loss": {"gan": "lsgan", "lambda_cycle": 10.0, "lambda_identity": 0.5},
+        "model": {"ngf": 4, "ndf": 4, "n_blocks": 6, "n_layers": 2,
+                  "spectral_norm_d": False, "generator": "resnet"},
+        "runtime": {"precision": "fp32"},
+        "parallel": {},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", required=True)
@@ -59,6 +78,7 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--stack", choices=["cut", "cyclegan"], default="cut")
     args = ap.parse_args()
 
     import faulthandler
@@ -95,12 +115,18 @@ def main() -> None:
 
         multihost_utils.sync_global_devices("gloo_warmup")
 
-    config = build_config(args.data, args.out)
-    config["max_steps"] = args.steps
+    if args.stack == "cyclegan":
+        from gan_variant_research_tpu.train.cyclegan_loop import train_cyclegan
 
-    from gan_variant_research_tpu.train.loop import train_cut
+        config = build_cyclegan_config(args.data, args.out)
+        state, _ = train_cyclegan(config, max_steps_override=args.steps)
+    else:
+        config = build_config(args.data, args.out)
+        config["max_steps"] = args.steps
 
-    state, _ = train_cut(config, resume=args.resume)
+        from gan_variant_research_tpu.train.loop import train_cut
+
+        state, _ = train_cut(config, resume=args.resume)
     print(json.dumps({
         "process": jax.process_index(),
         "processes": jax.process_count(),

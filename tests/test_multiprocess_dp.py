@@ -46,7 +46,8 @@ def _env(local_devices: int) -> dict:
 
 
 def _run_workers(n_proc: int, local_devices: int, data: Path, out: Path,
-                 steps: int = 6, resume: str | None = None, attempts: int = 4):
+                 steps: int = 6, resume: str | None = None, attempts: int = 4,
+                 stack: str = "cut"):
     """Run one N-process jax.distributed job; retry on gloo-startup races.
 
     XLA-CPU's gloo rendezvous has a HARD 30 s key-value window per context
@@ -66,7 +67,8 @@ def _run_workers(n_proc: int, local_devices: int, data: Path, out: Path,
             cmd = [sys.executable, str(WORKER),
                    "--coordinator", f"localhost:{port}",
                    "--num-processes", str(n_proc), "--process-id", str(pid),
-                   "--data", str(data), "--out", str(out), "--steps", str(steps)]
+                   "--data", str(data), "--out", str(out), "--steps", str(steps),
+                   "--stack", stack]
             if resume:
                 cmd += ["--resume", resume]
             procs.append(subprocess.Popen(
@@ -175,3 +177,38 @@ def test_two_process_resume_continues_trajectory(data_dir, tmp_path):
             losses_part[step], losses_full[step], rtol=1e-4,
             err_msg=f"resumed trajectory diverged at step {step}",
         )
+
+
+def _read_cyclegan_log(log_dir: Path) -> dict[int, dict]:
+    import json
+
+    lines = [json.loads(l) for l in
+             (log_dir / "cyclegan_log.jsonl").read_text().strip().splitlines()]
+    return {int(l["step"]): l for l in lines}
+
+
+@pytest.mark.slow
+def test_two_process_cyclegan_dp_matches_single_process(data_dir, tmp_path):
+    """The CycleGAN loop rides the same per-host input sharding as the CUT
+    loop (process_batch_bounds + UnpairedLoader slicing); prove it with a
+    real 2-process jax.distributed run whose per-epoch averaged losses match
+    the single-process control (16 images/domain at global batch 8 → 2
+    steps/epoch → JSON-lines entries at steps 2 and 4)."""
+    out1 = tmp_path / "single"
+    out2 = tmp_path / "double"
+
+    _run_workers(1, 2, data_dir, out1, steps=4, stack="cyclegan")
+    _run_workers(2, 1, data_dir, out2, steps=4, stack="cyclegan")
+
+    single = _read_cyclegan_log(out1 / "logs")
+    double = _read_cyclegan_log(out2 / "logs")
+    assert set(single) == set(double) == {2, 4}
+    loss_keys = [k for k in single[2] if k not in ("epoch", "step",
+                                                   "images_per_sec")]
+    assert loss_keys, f"no loss fields logged: {single[2]}"
+    for step in sorted(single):
+        for k in loss_keys:
+            np.testing.assert_allclose(
+                double[step][k], single[step][k], rtol=1e-3,
+                err_msg=f"{k} diverged at step {step}",
+            )

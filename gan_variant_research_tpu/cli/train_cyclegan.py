@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("--set", nargs="+", action="append", default=[],
                         dest="overrides")
     parser.add_argument("--strict-config", action="store_true")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint path, or 'auto' for the newest "
+                             "ckpt_e*.msgpack in training.save_dir "
+                             "(beyond-reference: Basic_GAN cannot resume)")
     args = parser.parse_args(argv)
     config = load_config(args.config)
     config = override_config(config, [kv for g in args.overrides for kv in g])
@@ -34,7 +38,7 @@ def main(argv=None):
     from gan_variant_research_tpu.parallel import init_distributed
 
     init_distributed((config.get("parallel") or {}).get("multihost", "auto"))
-    train_cyclegan(config)
+    train_cyclegan(config, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -184,4 +184,11 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
         if m and int(m.group(1)) > best_step:
             best_step = int(m.group(1))
             best = p
+    if best is None:
+        # CycleGAN epoch checkpoints (cyclegan_loop.py: ckpt_e{epoch})
+        for p in ckpt_dir.glob("ckpt_e*.msgpack"):
+            m = re.search(r"ckpt_e(\d+)", p.name)
+            if m and int(m.group(1)) > best_step:
+                best_step = int(m.group(1))
+                best = p
     return best

@@ -14,13 +14,16 @@ import numpy as np
 from gan_variant_research_tpu.data.loader import UnpairedLoader
 from gan_variant_research_tpu.train.checkpoint import (
     AsyncCheckpointer,
+    latest_checkpoint,
+    load_checkpoint,
     save_checkpoint,
 )
 from gan_variant_research_tpu.train.cyclegan_trainer import CycleGANTrainer
 from gan_variant_research_tpu.train.loss_tracker import Averager
 
 
-def train_cyclegan(config: dict, max_steps_override: int | None = None):
+def train_cyclegan(config: dict, max_steps_override: int | None = None,
+                   resume: str | None = None):
     import jax
 
     from gan_variant_research_tpu.data.loader import make_source
@@ -37,6 +40,23 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
     n_b = len(make_source(root / data_cfg["domain_b"], load_size))
     steps_per_epoch = max(n_a, n_b) // t_cfg["batch_size"]
     trainer = CycleGANTrainer(config, steps_per_epoch=steps_per_epoch)
+
+    # resolve the resume point BEFORE building the loader so the index
+    # streams fast-forward to exactly the batches the uninterrupted run
+    # would consume (same deterministic-resume contract as the CUT loop;
+    # the reference's Basic_GAN has no resume at all, src/train.py)
+    start_step = 0
+    resume_blob = None
+    if resume:
+        path = (latest_checkpoint(Path(t_cfg["save_dir"]))
+                if resume == "auto" else resume)
+        if resume == "auto" and path is None:
+            print("No checkpoint found for auto-resume; starting fresh")
+        elif path is not None:
+            resume_blob = load_checkpoint(path)
+            start_step = resume_blob["step"]
+            print(f"Resuming from step {start_step} ({path})")
+
     loader = UnpairedLoader(
         root / data_cfg["domain_a"],
         root / data_cfg["domain_b"],
@@ -44,11 +64,13 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
         size=data_cfg.get("load_size", 286),
         seed=t_cfg.get("seed", 0),
         num_workers=data_cfg.get("num_workers", 4),
+        start_step=start_step,
         # same staging + per-host slicing as the CUT loop (train/loop.py)
         device_sharding=trainer.mesh.batch_sharding(4),
         process_bounds=process_batch_bounds(trainer.mesh, t_cfg["batch_size"]),
     )
-    state = trainer.init_state()
+    state = (trainer.state_from_payload(resume_blob["payload"], start_step)
+             if resume_blob is not None else trainer.init_state())
 
     is_main = jax.process_index() == 0
     save_dir = Path(t_cfg["save_dir"])
@@ -61,7 +83,8 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
         save_dir.mkdir(parents=True, exist_ok=True)
         if log_path:
             log_path.parent.mkdir(parents=True, exist_ok=True)
-            log_path.write_text("")  # one file per run, not per process life
+            if start_step == 0:
+                log_path.write_text("")  # fresh run truncates; resume appends
 
     total_epochs = t_cfg["epochs"]
     max_steps = max_steps_override or t_cfg.get("max_steps") or (
@@ -74,7 +97,7 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
                    if is_main and t_cfg.get("async_save", True) else None)
     averager = Averager()
 
-    step = 0
+    step = start_step
     t0 = time.perf_counter()
     try:
         while step < max_steps:
@@ -86,7 +109,8 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None):
             if step % steps_per_epoch == 0 or step == max_steps:
                 epoch = step // max(1, steps_per_epoch)
                 avg = averager.averages()
-                rate = step * t_cfg["batch_size"] / (time.perf_counter() - t0)
+                rate = ((step - start_step) * t_cfg["batch_size"]
+                        / (time.perf_counter() - t0))
                 if is_main:
                     print(
                         f"Epoch {epoch}/{total_epochs} "

@@ -1,6 +1,8 @@
 """CycleGAN loop end-to-end on synthetic folders: epoch cadence,
 checkpoint schema on disk, max-steps override."""
 
+from pathlib import Path
+
 import numpy as np
 from PIL import Image
 
@@ -92,3 +94,60 @@ def test_cyclegan_loop_counts_tfrec_sources(tmp_path):
     state, _ = train_cyclegan(cfg)
     # 1 epoch x (max(4,4)//2 = 2 steps); the pre-fix behavior was 0 steps
     assert int(state.step) == 2
+
+
+def _micro_cfg(tmp_path, tag):
+    return {
+        "data": {"root": str(tmp_path), "domain_a": "a", "domain_b": "b",
+                 "img_size": 16, "load_size": 20, "num_workers": 2},
+        "training": {"epochs": 2, "batch_size": 2, "amp": False, "seed": 0,
+                     "save_dir": str(tmp_path / f"ckpts_{tag}"),
+                     "log_dir": str(tmp_path / f"logs_{tag}"), "save_every": 1},
+        "optim": {"lr_g": 2e-4, "lr_d": 2e-4, "betas": [0.5, 0.999],
+                  "lr_decay_after": 1},
+        "loss": {"gan": "lsgan", "lambda_cycle": 10.0, "lambda_identity": 0.5},
+        "model": {"ngf": 4, "ndf": 4, "n_blocks": 6, "n_layers": 2,
+                  "spectral_norm_d": False, "generator": "resnet"},
+        "runtime": {"precision": "fp32"},
+        "parallel": {"num_devices": 1},
+    }
+
+
+def test_cyclegan_resume_auto_matches_uninterrupted(tmp_path):
+    """--resume auto continues the run exactly: checkpointed params/opt
+    states/PRNG key + loader index fast-forward reproduce the uninterrupted
+    per-epoch loss trajectory (beyond-reference: Basic_GAN has no resume —
+    src/train.py; same contract the CUT loop proves in resume_soak)."""
+    import json
+
+    from gan_variant_research_tpu.train.cyclegan_loop import train_cyclegan
+
+    _folder(tmp_path, "a", 6, 0)
+    _folder(tmp_path, "b", 4, 1)
+
+    def read_log(cfg):
+        p = Path(cfg["training"]["log_dir"]) / "cyclegan_log.jsonl"
+        return [json.loads(l) for l in p.read_text().strip().splitlines()]
+
+    full = _micro_cfg(tmp_path, "full")
+    state_full, _ = train_cyclegan(full)          # 6 steps = 2 epochs of 3
+    assert int(state_full.step) == 6
+
+    part = _micro_cfg(tmp_path, "part")
+    state_p, _ = train_cyclegan(part, max_steps_override=3)   # epoch 1 only
+    assert int(state_p.step) == 3
+    assert (Path(part["training"]["save_dir"]) / "ckpt_e1.msgpack").exists()
+    state_r, _ = train_cyclegan(part, resume="auto")          # continue to 6
+    assert int(state_r.step) == 6
+
+    log_full = read_log(full)
+    log_part = read_log(part)   # epoch-1 line from run 1, epoch-2 appended
+    assert [l["epoch"] for l in log_full] == [1, 2]
+    assert [l["epoch"] for l in log_part] == [1, 2]
+    for lf, lp in zip(log_full, log_part):
+        for k in lf:
+            if k in ("epoch", "step", "images_per_sec"):
+                continue
+            np.testing.assert_allclose(
+                lp[k], lf[k], rtol=1e-5,
+                err_msg=f"{k} diverged at epoch {lf['epoch']}")

@@ -106,7 +106,19 @@ class InlineEvaluator:
             metrics_cfg.get("compute_clip_distance", False))
         if not (self.compute_fid or self.compute_distance):
             raise ValueError("InlineEvaluator built with every metric off")
-        self.eval_every = int(metrics_cfg.get("eval_every", 500))
+        # metrics.eval_every and eval.every_steps are aliases (the reference
+        # ships BOTH as dead keys of its deleted metrics layer,
+        # train_gan_cutpp.yaml:106,99): honor either, error on disagreement
+        # — same rule as the checkpoint cadence (train/loop.py)
+        m = metrics_cfg.get("eval_every")
+        e = (config.get("eval") or {}).get("every_steps")
+        if m is not None and e is not None and int(m) != int(e):
+            raise ValueError(
+                f"metrics.eval_every={m} and eval.every_steps={e} disagree; "
+                "they are aliases for the inline-metrics cadence — set both "
+                "to the same value or drop one from the config.")
+        self.eval_every = int(m if m is not None else (e if e is not None
+                                                       else 500))
 
         clip_cfg = config.get("clip_features") or {}
         bank = ensure_feature_bank(

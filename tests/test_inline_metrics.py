@@ -150,3 +150,20 @@ def test_inline_evaluator_probe_from_tfrec(metrics_ws, tmp_path):
     ev = InlineEvaluator(cfg)
     # 3 probe images (capped by the source), at the configured size
     assert ev._probe.shape == (3, cfg["image_size"], cfg["image_size"], 3)
+
+
+def test_eval_cadence_alias_rules(metrics_ws):
+    """metrics.eval_every and eval.every_steps are aliases (both dead keys
+    of the reference's deleted metrics layer); either works alone, and
+    disagreement is a loud error instead of silent shadowing."""
+    from gan_variant_research_tpu.train.inline_metrics import InlineEvaluator
+
+    cfg = _metrics_config(metrics_ws)
+    cfg["metrics"] = dict(cfg["metrics"])
+    del cfg["metrics"]["eval_every"]
+    cfg["eval"] = dict(cfg["eval"], every_steps=7)
+    assert InlineEvaluator(cfg).eval_every == 7
+
+    cfg["metrics"]["eval_every"] = 9
+    with pytest.raises(ValueError, match="disagree"):
+        InlineEvaluator(cfg)

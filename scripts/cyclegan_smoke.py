@@ -35,7 +35,7 @@ sys.path.insert(0, str(REPO))
 from scripts.convergence_smoke import write_dataset  # noqa: E402  (same domains)
 
 
-def run(steps: int, size: int, work: Path):
+def run(steps: int, size: int, work: Path, generator: str = "resnet"):
     from gan_variant_research_tpu.train.cyclegan_loop import train_cyclegan
 
     pdir, mdir = write_dataset(work / "data", size=size)
@@ -50,7 +50,7 @@ def run(steps: int, size: int, work: Path):
                   "lr_decay_after": 20},
         "loss": {"gan": "lsgan", "lambda_cycle": 10.0, "lambda_identity": 0.5},
         "model": {"ngf": 16, "ndf": 16, "n_blocks": 6, "n_layers": 2,
-                  "spectral_norm_d": False, "generator": "resnet"},
+                  "spectral_norm_d": False, "generator": generator},
         "runtime": {"precision": "bf16"},
         "parallel": {"num_devices": 1},
     }
@@ -116,13 +116,20 @@ def main():
     ap.add_argument("--workdir", type=str, default="/tmp/cyclegan_smoke")
     ap.add_argument("--analyze-only", action="store_true",
                     help="re-analyze <workdir>/console.txt without retraining")
+    ap.add_argument("--generator", choices=["resnet", "unet"],
+                    default="resnet",
+                    help="unet = the notebook-lineage U-Net generator "
+                         "(GAN_baseline_Sujit.ipynb cell 4); artifacts get "
+                         "a _unet suffix")
     args = ap.parse_args()
 
     if args.analyze_only:
         console = (Path(args.workdir) / "console.txt").read_text()
     else:
-        console = run(args.steps, args.size, Path(args.workdir))
+        console = run(args.steps, args.size, Path(args.workdir),
+                      generator=args.generator)
     summary, by = analyze(console)
+    tag = "" if args.generator == "resnet" else f"_{args.generator}"
 
     import matplotlib
     matplotlib.use("Agg")
@@ -139,20 +146,22 @@ def main():
     axes[2].plot(by["epoch"], by["D_B"], label="D_B")
     axes[2].set_title("discriminators (LSGAN)"); axes[2].legend()
     axes[2].set_xlabel("epoch")
-    fig.suptitle(f"CycleGAN convergence smoke — synthetic two-domain, "
-                 f"{args.size}², {summary['epochs']} epochs")
+    fig.suptitle(f"CycleGAN convergence smoke ({args.generator} G) — "
+                 f"synthetic two-domain, {args.size}², "
+                 f"{summary['epochs']} epochs")
     fig.tight_layout()
-    fig.savefig(REPO / "docs" / "cyclegan_smoke.png", dpi=110)
+    fig.savefig(REPO / "docs" / f"cyclegan_smoke{tag}.png", dpi=110)
 
     passed = all(summary["checks"].values())
-    (REPO / "docs" / "cyclegan_smoke.md").write_text(
+    (REPO / "docs" / f"cyclegan_smoke{tag}.md").write_text(
         "# CycleGAN convergence smoke (synthetic two-domain run)\n\n"
-        f"Real `train_cyclegan` loop (Basic_GAN stack), {args.size}² batch 8, "
-        f"ngf/ndf 16, 6 blocks, {summary['epochs']} epochs on the synthetic "
+        f"Real `train_cyclegan` loop (Basic_GAN stack), {args.generator} "
+        f"generator, {args.size}² batch 8, "
+        f"ngf/ndf 16, {summary['epochs']} epochs on the synthetic "
         "photo-like vs painting-like domains shared with the CUT smoke.\n\n"
         f"```json\n{json.dumps(summary, indent=2)}\n```\n\n"
         f"**Result: {'PASS' if passed else 'FAIL'}** — curves in "
-        "cyclegan_smoke.png.\n"
+        f"cyclegan_smoke{tag}.png.\n"
     )
     print(json.dumps(summary, indent=2))
     print("PASS" if passed else "FAIL")

@@ -37,7 +37,9 @@ from gan_variant_research_tpu.data.folders import enumerate_images
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Stylize a photo folder with a trained generator")
     p.add_argument("--ckpt", required=True, help="Checkpoint (.msgpack)")
-    p.add_argument("--photos", required=True, help="Input photo folder (recursive)")
+    p.add_argument("--photos", required=True,
+                   help="Input photo folder (recursive), or TFRecord shards "
+                        "(a *.tfrec/*.tfrecord file or a directory of them)")
     p.add_argument("--out", required=True, help="Output folder (mirrors input tree)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=256)
@@ -139,7 +141,35 @@ def stylize_folder(
 
     photos_dir = Path(photos_dir)
     out_dir = Path(out_dir)
-    paths = enumerate_images(photos_dir, recursive=True)
+    # --photos may be the Kaggle dataset's native TFRecord shards (a
+    # *.tfrec* file or a directory of them — same detection rule as the
+    # training loader, data/loader.py::make_source); records are served by
+    # index and written under their image_name feature
+    tfrec_exts = (".tfrec", ".tfrecord")
+    is_tfrec = (
+        (photos_dir.is_file() and photos_dir.suffix.lower() in tfrec_exts)
+        or (photos_dir.is_dir()
+            and any(c.suffix.lower() in tfrec_exts
+                    for c in photos_dir.iterdir()))
+    )
+    if is_tfrec:
+        from gan_variant_research_tpu.data.tfrecord import TFRecordImageSource
+
+        # bilinear: the same decode-resize the folder path applies (the
+        # reference's inference preprocess), so tfrec- and folder-served
+        # outputs are pixel-identical
+        src = TFRecordImageSource(photos_dir, size, resample="bilinear")
+        paths = list(range(len(src)))
+
+        def rel_of(i) -> Path:
+            return Path(src.name(i))
+    else:
+        src = None
+        paths = enumerate_images(photos_dir, recursive=True)
+
+        def rel_of(p) -> Path:
+            return p.relative_to(photos_dir)
+
     if limit is not None:
         paths = paths[:limit]
     if not paths:
@@ -178,6 +208,8 @@ def stylize_folder(
     from concurrent.futures import ThreadPoolExecutor
 
     def load_img(p):
+        if src is not None:  # TFRecord index (per-thread file handles)
+            return src.get(p)
         # native libjpeg fast path (pixel-identical to PIL, GIL-free);
         # PIL handles everything else + the bilinear resize
         from gan_variant_research_tpu.data.native_loader import decode_jpeg
@@ -234,7 +266,7 @@ def stylize_folder(
     threading.Thread(target=producer, daemon=True).start()
 
     def save_img(p, img):
-        rel = p.relative_to(photos_dir)
+        rel = rel_of(p)
         dst = (out_dir / rel).with_suffix(".jpg")
         dst.parent.mkdir(parents=True, exist_ok=True)
         # native libjpeg encode (GIL-free, same quality/4:4:4/optimize

@@ -217,7 +217,8 @@ class TFRecordImageSource:
     """
 
     def __init__(self, folder: str | Path, size: int,
-                 image_key: str | None = None, verify: bool = True):
+                 image_key: str | None = None, verify: bool = True,
+                 resample: str = "bicubic"):
         folder = Path(folder)
         if folder.is_file():
             files = [folder]
@@ -230,6 +231,12 @@ class TFRecordImageSource:
         self.size = size
         self.image_key = image_key
         self.verify = verify
+        # bicubic matches the training loader's load-resize; serving
+        # (cli/generate_folder.py) passes bilinear — the reference's
+        # inference preprocess contract (generate_folder.py resize)
+        if resample not in ("bicubic", "bilinear"):
+            raise ValueError(f"resample must be bicubic|bilinear, got {resample}")
+        self.resample = resample
         self._entries: list[tuple[Path, int, int]] = []
         for f in files:
             for offset, length in index_tfrecord(f):
@@ -250,6 +257,18 @@ class TFRecordImageSource:
             fh = handles[path] = open(path, "rb")
         return fh
 
+    def name(self, idx: int) -> str:
+        """Per-record output name: the ``image_name`` feature when present
+        (the Kaggle schema), else a stable zero-padded index. Lets serving
+        (cli/generate_folder.py) mirror record identity into a file tree."""
+        path, offset, length = self._entries[idx]
+        record = read_record(self._file(path), offset, length,
+                             verify=self.verify)
+        vals = parse_example(record).get("image_name")
+        if vals and isinstance(vals[0], bytes) and vals[0]:
+            return vals[0].decode("utf-8", errors="replace")
+        return f"{idx:05d}.jpg"
+
     def get(self, idx: int) -> np.ndarray:
         path, offset, length = self._entries[idx]
         record = read_record(self._file(path), offset, length,
@@ -266,9 +285,10 @@ class TFRecordImageSource:
         if arr.shape[:2] != (self.size, self.size):
             from PIL import Image
 
+            flt = (Image.BICUBIC if self.resample == "bicubic"
+                   else Image.BILINEAR)
             arr = np.asarray(
-                Image.fromarray(arr).resize((self.size, self.size),
-                                            Image.BICUBIC),
+                Image.fromarray(arr).resize((self.size, self.size), flt),
                 dtype=np.uint8)
         return arr
 

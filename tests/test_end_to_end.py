@@ -195,3 +195,48 @@ def test_generate_folder_surfaces_decode_errors(workspace, trained, tmp_path):
     with pytest.raises(Exception):
         stylize_folder(generator, params, bad_dir, tmp_path / "out",
                        size=32, batch=4)
+
+
+def test_generate_folder_serves_tfrecord_shards(workspace, trained, tmp_path):
+    """--photos may be the Kaggle dataset's native TFRecord shards: records
+    are decoded by index and written under their image_name feature, and the
+    outputs are pixel-identical to serving the same images from a folder."""
+    import io
+
+    import numpy as np
+
+    from gan_variant_research_tpu.cli.generate_folder import (
+        load_generator_params,
+        stylize_folder,
+    )
+    from gan_variant_research_tpu.data import tfrecord as tfr
+
+    # pack the workspace's photo folder into one shard, bitwise JPEG embed
+    from gan_variant_research_tpu.data.folders import list_images
+
+    photos = list_images(workspace / "photos")[:4]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    tfr.write_tfrecord(shard_dir / "part-00.tfrec", [
+        tfr.make_example({"image_name": p.name, "image": p.read_bytes()})
+        for p in photos
+    ])
+
+    final = workspace / "ckpts" / "ckpt_final.msgpack"
+    generator, params, _ = load_generator_params(final, use_ema=True)
+    out_tf = stylize_folder(generator, params, shard_dir,
+                            tmp_path / "out_tf", size=32, batch=4)
+    assert sorted(p.name for p in out_tf) == \
+        sorted(p.with_suffix(".jpg").name for p in photos)
+
+    # folder-served control over the SAME images
+    ctl_dir = tmp_path / "ctl_photos"
+    ctl_dir.mkdir()
+    for p in photos:
+        (ctl_dir / p.name).write_bytes(p.read_bytes())
+    out_fd = stylize_folder(generator, params, ctl_dir,
+                            tmp_path / "out_fd", size=32, batch=4)
+    for a, b in zip(sorted(out_tf), sorted(out_fd)):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(a)), np.asarray(Image.open(b)),
+            err_msg=f"{a.name} differs between tfrec and folder serving")

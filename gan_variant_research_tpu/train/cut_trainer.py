@@ -179,9 +179,13 @@ class CUTTrainer:
                 make_embed_fn,
             )
 
+            from gan_variant_research_tpu.train.feature_bank import (
+                monet_source_path,
+            )
+
             clip_cfg = config.get("clip_features") or {}
             bank = ensure_feature_bank(
-                clip_cfg, (config.get("data") or {}).get("monet_dir")
+                clip_cfg, monet_source_path(config.get("data"))
             )
             margin = float(rep_cfg.get(
                 "margin", load_margin(clip_cfg.get("margin_path"))

@@ -75,16 +75,55 @@ def build_feature_bank(
     )
     from gan_variant_research_tpu.evalsuite.utils import enumerate_images
 
-    paths = enumerate_images(images_dir)
-    if not paths:
-        raise FileNotFoundError(f"no images under {images_dir} to build a bank")
     extractor = InceptionFeatureExtractor(
         weights_path=weights_path, allow_random=allow_random,
         batch_size=batch_size,
     )
-    feats = extractor.extract(paths, desc="feature bank")
+    p = Path(images_dir)
+    tfrec_exts = (".tfrec", ".tfrecord")
+    if (p.is_file() and p.suffix.lower() in tfrec_exts) or (
+            p.is_dir() and any(c.suffix.lower() in tfrec_exts
+                               for c in p.iterdir())):
+        # TFRecord-only dataset (data.use_tfrec): decode records at the
+        # extractor's 299² bilinear contract and batch them directly
+        from concurrent.futures import ThreadPoolExecutor
+
+        from gan_variant_research_tpu.data.tfrecord import TFRecordImageSource
+
+        src = TFRecordImageSource(p, extractor.img_size, resample="bilinear")
+        feats_parts = []
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for i in range(0, len(src), batch_size):
+                idx = range(i, min(i + batch_size, len(src)))
+                batch = np.stack(list(pool.map(src.get, idx)))
+                n_valid = batch.shape[0]
+                if n_valid < batch_size:  # fixed-shape jit: pad + slice
+                    batch = np.concatenate([batch, np.zeros(
+                        (batch_size - n_valid, *batch.shape[1:]), np.uint8)])
+                f = np.asarray(extractor.net.features_u8(batch))[:n_valid]
+                feats_parts.append(f)
+                print(f"\rfeature bank: {i + n_valid}/{len(src)}",
+                      end="", flush=True)
+        print()
+        feats = np.concatenate(feats_parts, axis=0)
+    else:
+        paths = enumerate_images(images_dir)
+        if not paths:
+            raise FileNotFoundError(
+                f"no images under {images_dir} to build a bank")
+        feats = extractor.extract(paths, desc="feature bank")
     save_feature_bank(out_path, feats)
     return feats
+
+
+def monet_source_path(data_cfg: dict | None):
+    """The target-domain input to build the bank from: the TFRecord shards
+    when ``data.use_tfrec`` (mirroring the training loader's selection),
+    else the image folder."""
+    data_cfg = data_cfg or {}
+    if data_cfg.get("use_tfrec"):
+        return data_cfg.get("monet_tfrec")
+    return data_cfg.get("monet_dir")
 
 
 def ensure_feature_bank(clip_cfg: dict, images_dir: str | Path | None) -> np.ndarray:

@@ -120,9 +120,13 @@ class InlineEvaluator:
         self.eval_every = int(m if m is not None else (e if e is not None
                                                        else 500))
 
+        from gan_variant_research_tpu.train.feature_bank import (
+            monet_source_path,
+        )
+
         clip_cfg = config.get("clip_features") or {}
         bank = ensure_feature_bank(
-            clip_cfg, (config.get("data") or {}).get("monet_dir"))
+            clip_cfg, monet_source_path(config.get("data")))
         self._bank = jnp.asarray(bank, jnp.float32)
         self._mu_real, self._sigma_real = gaussian_stats(bank)
         self._embed = jax.jit(make_embed_fn(load_inception_params(clip_cfg)))

@@ -188,3 +188,36 @@ def test_bank_normalized_flag_equivalence():
     lg, _ = repulsion_loss(e, normalize_rows(b), margin=0.5,
                            bank_normalized=True)
     np.testing.assert_allclose(np.asarray(lg), np.asarray(lr), rtol=1e-6)
+
+
+def test_build_feature_bank_from_tfrecord(tmp_path):
+    """data.use_tfrec datasets can build the bank on first run: the tfrec
+    branch decodes records at the extractor's 299² bilinear contract and
+    must produce exactly the folder-built features for the same JPEGs."""
+    import io
+
+    from PIL import Image
+
+    from gan_variant_research_tpu.data import tfrecord as tfr
+    from gan_variant_research_tpu.train.feature_bank import build_feature_bank
+
+    local = np.random.default_rng(21)
+    folder = tmp_path / "monet"
+    folder.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            local.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        ).save(folder / f"{i}.jpg", quality=92)
+    shards = tmp_path / "monet_tfrec"
+    shards.mkdir()
+    tfr.write_tfrecord(shards / "part-00.tfrec", [
+        tfr.make_example({"image_name": p.name, "image": p.read_bytes()})
+        for p in sorted(folder.glob("*.jpg"))
+    ])
+
+    ref = build_feature_bank(folder, tmp_path / "bank_folder.npz",
+                             allow_random=True, batch_size=2)
+    got = build_feature_bank(shards, tmp_path / "bank_tfrec.npz",
+                             allow_random=True, batch_size=2)
+    assert got.shape == ref.shape == (3, 2048)
+    np.testing.assert_array_equal(got, ref)

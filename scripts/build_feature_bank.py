@@ -32,7 +32,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--images", required=True, help="target-domain folder")
+    ap.add_argument("--images", required=True,
+                    help="target-domain folder or TFRecord shards")
     ap.add_argument("--out", required=True, help="output bank .npz")
     ap.add_argument("--inception-weights", default=None,
                     help="converted FID weights (.npz) or torch .pth")

@@ -31,23 +31,46 @@ def _prefetch_to_device(batches, depth: int = 2, sharding=None):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that gives up once the consumer is gone, so an
+        # abandoned generator (caller raised mid-iteration) never leaves
+        # this thread parked on a full queue holding decoded batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch, n_valid in batches:
-                q.put((jax.device_put(batch, sharding), n_valid))
-            q.put(_END)
+                if not put((jax.device_put(batch, sharding), n_valid)):
+                    return
+            put(_END)
         except BaseException as e:  # propagate decode/transfer errors
-            q.put(e)
+            put(e)
 
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    threading.Thread(target=producer, daemon=True,
+                     name="eval-prefetch").start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a producer parked on a full queue
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class InceptionFeatureExtractor:

@@ -300,6 +300,33 @@ def test_prefetch_propagates_producer_errors():
         next(it)
 
 
+def test_prefetch_producer_exits_when_generator_abandoned():
+    """If the consumer abandons the generator (e.g. the caller raises
+    mid-extraction), the staging thread must exit instead of parking on
+    q.put forever holding decoded batches."""
+    import threading
+    import time
+
+    from gan_variant_research_tpu.evalsuite.features import _prefetch_to_device
+
+    def endless_batches():
+        while True:
+            yield (np.zeros((2, 4, 4, 3), np.uint8), 2)
+
+    it = _prefetch_to_device(endless_batches(), depth=1)
+    next(it)  # producer is now running and will park on the full queue
+    assert any(t.name == "eval-prefetch" and t.is_alive()
+               for t in threading.enumerate())
+    it.close()  # abandon: runs the generator's finally (stop + drain)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if not any(t.name == "eval-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            return
+        time.sleep(0.05)
+    raise AssertionError("eval-prefetch thread still alive after abandon")
+
+
 class TestKID:
     def test_mmd2_unbiased_hand_computed(self):
         from gan_variant_research_tpu.evalsuite.kid import (

@@ -52,8 +52,10 @@ def init_distributed(enable: bool | str = "auto") -> bool:
     global, which is exactly what ``create_mesh`` consumes. The input
     pipeline is multi-host-aware: each process decodes only its
     ``process_batch_bounds`` slice of the global batch and assembles the
-    global array via ``jax.make_array_from_process_local_data``
-    (data/loader.py), so every host sees distinct data.
+    global array from per-device local transfers
+    (``jax.make_array_from_single_device_arrays`` — see
+    ``UnpairedLoader._stage`` for why the process-local-data helper is
+    avoided on the producer thread), so every host sees distinct data.
     """
     import os
 

@@ -1,12 +1,11 @@
 """TFRecord ⇄ image-folder bridge.
 
 The Kaggle dataset ships both JPEG folders and TFRecord shards of the SAME
-images (photo_jpg/photo_tfrec, monet_jpg/monet_tfrec). Training reads
-either directly (``data.use_tfrec``, data/tfrecord.py); the eval CLI and
-``generate_folder`` are deliberately file-tree-based (their enumeration/
-hash/overlap/mirroring contracts are defined over files — reference
-EVAL/eval/utils.py:13-210, generate_folder.py:170-172). This tool bridges
-the remaining gap in both directions:
+images (photo_jpg/photo_tfrec, monet_jpg/monet_tfrec). Training, the eval
+CLI, and ``generate_folder`` all read shards directly (``data.use_tfrec``
+/ auto-detection — data/tfrecord.py, evalsuite/datasets.py), so this tool
+is for interop with OTHER file-tree-based tooling (e.g. the reference's
+torch pipeline, manual inspection) in both directions:
 
     # unpack shards to a folder (bitwise JPEG extraction, no re-encode)
     python -m gan_variant_research_tpu.cli.tfrec_tool unpack \

@@ -248,6 +248,12 @@ class TFRecordImageSource:
     def __len__(self):
         return len(self._entries)
 
+    def entries(self) -> list[tuple[Path, int, int]]:
+        """The record index: (shard path, data offset, payload length) per
+        record, in source order. Payload lengths double as the 'file size'
+        in eval dataset hashing (evalsuite/datasets.py TFRecordEntry)."""
+        return list(self._entries)
+
     def _file(self, path: Path):
         handles = getattr(self._tls, "handles", None)
         if handles is None:

@@ -35,7 +35,6 @@ from gan_variant_research_tpu.evalsuite.report import (
 from gan_variant_research_tpu.evalsuite.utils import (
     check_dataset_overlap,
     compute_image_list_hash,
-    enumerate_images,
     timer,
     validate_image_counts,
 )
@@ -56,8 +55,12 @@ def _banner(step: int, title: str):
 
 @click.command()
 @click.option("--config", "config_path", default=None, help="YAML config file")
-@click.option("--fake", "fake_dir", default=None, help="Folder of generated images")
-@click.option("--real", "real_dir", default=None, help="Folder of real images")
+@click.option("--fake", "fake_dir", default=None,
+              help="Generated images: a folder, or TFRecord shards "
+                   "(*.tfrec file / directory of shards)")
+@click.option("--real", "real_dir", default=None,
+              help="Real images: a folder, or TFRecord shards (the Kaggle "
+                   "dataset's native format, read without unpacking)")
 @click.option("--out", "out_dir", default=None, help="Output dir for reports")
 @click.option("--batch", "batch_size", type=int, default=None)
 @click.option("--workers", "num_workers", type=int, default=None)
@@ -101,9 +104,8 @@ def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
         raise click.ClickException(
             "Only real_mode: folder is supported (the reference CLI rejects "
             "tfds mode as well, EVAL/eval/cli.py:134-136). TFRecord shards "
-            "can be unpacked bitwise first: python -m "
-            "gan_variant_research_tpu.cli.tfrec_tool unpack --tfrec ... "
-            "--out ...")
+            "need no special mode here: point --real/--fake at a *.tfrec "
+            "file or a directory of shards and they are read natively.")
     if not cfg["fake_dir"] or not cfg["real_dir"]:
         raise click.ClickException("--fake and --real (or config) are required")
 
@@ -113,10 +115,22 @@ def main(config_path, fake_dir, real_dir, out_dir, batch_size, num_workers,
 def run_evaluation(cfg: dict, allow_random_weights: bool = False) -> dict:
     """The 6-stage pipeline; returns the report dict."""
     _banner(1, "Enumerating images")
+    # folders of images (reference behavior), or the Kaggle dataset's native
+    # TFRecord shards read directly (evalsuite/datasets.py TFRecordEntry —
+    # embedded bytes are the original JPEGs, so scores match the unpacked
+    # folder exactly)
+    from gan_variant_research_tpu.evalsuite.datasets import (
+        enumerate_eval_inputs,
+        is_tfrecord_input,
+    )
+
     with timer("Enumerate fake images"):
-        fake_paths = enumerate_images(cfg["fake_dir"])
+        fake_paths = enumerate_eval_inputs(cfg["fake_dir"], cfg["img_size"])
     with timer("Enumerate real images"):
-        real_paths = enumerate_images(cfg["real_dir"])
+        real_paths = enumerate_eval_inputs(cfg["real_dir"], cfg["img_size"])
+    for label, d in (("fake", cfg["fake_dir"]), ("real", cfg["real_dir"])):
+        if is_tfrecord_input(d):
+            print(f"({label}: TFRecord shards, read natively)")
     print(f"Found {len(fake_paths)} fake, {len(real_paths)} real images")
 
     _banner(2, "Validating datasets")

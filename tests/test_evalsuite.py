@@ -285,6 +285,97 @@ class TestPipeline:
         assert report2["scores"]["fid"] == report["scores"]["fid"]
 
 
+class TestTFRecordEvalInputs:
+    """Native TFRecord input for the eval suite (beyond-reference: the
+    reference CLI rejects its non-folder mode, EVAL/eval/cli.py:134-136;
+    here the Kaggle shards evaluate without an unpack step)."""
+
+    def test_entry_pathlike_surface(self, tmp_path):
+        from gan_variant_research_tpu.cli.tfrec_tool import pack
+        from gan_variant_research_tpu.evalsuite.datasets import (
+            TFRecordEntry,
+            enumerate_eval_inputs,
+            is_tfrecord_input,
+            load_eval_image,
+        )
+        from gan_variant_research_tpu.evalsuite.utils import (
+            check_dataset_overlap,
+            compute_image_list_hash,
+            validate_image_counts,
+        )
+
+        paths = _make_image_folder(tmp_path / "imgs", 3, 7)
+        pack(tmp_path / "imgs", tmp_path / "shards", shard_size=2)
+        assert is_tfrecord_input(tmp_path / "shards")
+        assert not is_tfrecord_input(tmp_path / "imgs")
+
+        entries = enumerate_eval_inputs(tmp_path / "shards", img_size=32)
+        assert len(entries) == 3 and all(
+            isinstance(e, TFRecordEntry) for e in entries)
+        # names carry the packed image_name feature
+        assert sorted(e.name for e in entries) == [p.name for p in paths]
+        # sizes are record payload lengths (≥ the embedded JPEG bytes)
+        for e in entries:
+            assert e.stat().st_size > 0
+
+        # pixel-identical to reading the original files (bitwise embedding)
+        by_name = {e.name: e for e in entries}
+        for p in paths:
+            np.testing.assert_array_equal(
+                load_eval_image(by_name[p.name], 32), load_eval_image(p, 32))
+
+        # the reference's utils contracts work unchanged on entries
+        v = validate_image_counts(entries, entries)
+        assert v["num_fake"] == 3
+        overlap = check_dataset_overlap(entries, paths)
+        assert overlap["overlap_count"] == 3  # same names by construction
+
+        # SHA1 keys on record identity: stable across enumerations,
+        # sensitive to content changes
+        h1 = compute_image_list_hash(entries, tmp_path / "shards")
+        h2 = compute_image_list_hash(
+            enumerate_eval_inputs(tmp_path / "shards", img_size=32),
+            tmp_path / "shards")
+        assert h1 == h2
+        _make_image_folder(tmp_path / "imgs2", 3, 8)
+        pack(tmp_path / "imgs2", tmp_path / "shards2", shard_size=2)
+        h3 = compute_image_list_hash(
+            enumerate_eval_inputs(tmp_path / "shards2", img_size=32),
+            tmp_path / "shards2")
+        assert h3 != h1
+
+    def test_eval_from_shards_matches_folder(self, tmp_path):
+        """Scores from shard inputs equal the unpacked-folder scores exactly
+        (the embedded bytes ARE the original JPEGs)."""
+        from gan_variant_research_tpu.cli.tfrec_tool import pack
+        from gan_variant_research_tpu.evalsuite.cli import run_evaluation
+
+        _make_image_folder(tmp_path / "fake", 10, 0)
+        _make_image_folder(tmp_path / "real", 6, 1)
+        pack(tmp_path / "real", tmp_path / "real_tfrec", shard_size=4)
+        base = {
+            "fake_dir": str(tmp_path / "fake"),
+            "real_mode": "folder",
+            "out_dir": str(tmp_path / "reports"),
+            "cache_dir": str(tmp_path / "cache"),
+            "batch_size": 4,
+            "num_workers": 2,
+            "img_size": 96,
+            "cosine_eps": 0.1,
+            "use_cache": False,
+            "inception_weights": None,
+        }
+        rep_folder = run_evaluation(
+            dict(base, name="folder", real_dir=str(tmp_path / "real")),
+            allow_random_weights=True)
+        rep_shards = run_evaluation(
+            dict(base, name="shards", real_dir=str(tmp_path / "real_tfrec")),
+            allow_random_weights=True)
+        assert rep_shards["run"]["num_real"] == 6
+        assert rep_shards["scores"]["fid"] == rep_folder["scores"]["fid"]
+        assert rep_shards["scores"]["mifid"] == rep_folder["scores"]["mifid"]
+
+
 def test_prefetch_propagates_producer_errors():
     """A decode/transfer error in the background staging thread must surface
     in the consumer, not silently truncate the feature set."""

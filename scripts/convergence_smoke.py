@@ -104,7 +104,7 @@ def write_dataset(root: Path, n_photos=200, n_paintings=100, size=128, seed=0):
 # --------------------------------------------------------------------------- #
 
 def run(steps: int, size: int, data_root: Path, out_root: Path,
-        flagship: bool = False):
+        flagship: bool = False, stretch512: bool = False):
     import shutil
 
     from gan_variant_research_tpu.core.config import load_config, override_config
@@ -115,10 +115,11 @@ def run(steps: int, size: int, data_root: Path, out_root: Path,
     shutil.rmtree(out_root, ignore_errors=True)
 
     pdir, mdir = write_dataset(data_root, size=size,
-                               n_photos=300 if flagship else 200,
-                               n_paintings=150 if flagship else 100)
+                               n_photos=300 if (flagship or stretch512) else 200,
+                               n_paintings=150 if (flagship or stretch512) else 100)
     config = load_config(REPO / "gan_variant_research_tpu" / "configs"
-                         / "train_gan_cutpp.yaml")
+                         / ("train_gan_cutpp_512.yaml" if stretch512
+                            else "train_gan_cutpp.yaml"))
     overrides = [
         f"data.photos_dir={pdir}",
         f"data.monet_dir={mdir}",
@@ -130,7 +131,13 @@ def run(steps: int, size: int, data_root: Path, out_root: Path,
         "log.every_steps=25" if flagship else "log.every_steps=50",
         "log.verbose=false",
     ]
-    if flagship:
+    if stretch512:
+        # the 512² stretch config at its per-chip shard (global 64 = 8/chip
+        # on 8 chips; batch 8 on this one chip) — the same static shapes the
+        # capacity grid measured (docs/PERF.md). Full production model,
+        # warmup 20000 → the run stays in the annealing warm phase.
+        overrides += ["batch_size=8"]
+    elif flagship:
         # the UNREDUCED production config (ngf 64, 9 blocks, batch 32,
         # warmup 20000 — the same static shapes the benchmark compiles), so
         # the whole run stays in the annealing warm phase
@@ -208,16 +215,23 @@ def main():
     ap.add_argument("--flagship", action="store_true",
                     help="run the UNREDUCED production config (256², ngf 64, "
                          "9 blocks, batch 32, warmup 20000)")
+    ap.add_argument("--stretch512", action="store_true",
+                    help="run the 512² stretch config "
+                         "(train_gan_cutpp_512.yaml) at its per-chip shard "
+                         "(batch 8 on one chip)")
     args = ap.parse_args()
     if args.flagship:
         args.size = 256
+    if args.stretch512:
+        args.size = 512
 
+    production = args.flagship or args.stretch512
     work = Path(args.workdir)
     config = run(args.steps, args.size, work / "data", work / "run",
-                 flagship=args.flagship)
+                 flagship=args.flagship, stretch512=args.stretch512)
     summary, by = analyze(
         Path(config["output"]["log_dir"]), args.steps, config["warmup_steps"],
-        flagship=args.flagship,
+        flagship=production,
         identity_warm=config["loss_weights"].get("identity_warm", 0.1))
 
     import matplotlib
@@ -233,8 +247,12 @@ def main():
     axes[2].plot(by["step"], by["identity"], label="identity L1")
     axes[2].plot(by["step"], by["identity_weight"], label="weight (annealed)")
     axes[2].set_title("identity warmup"); axes[2].legend(); axes[2].set_xlabel("step")
-    tag = "flagship" if args.flagship else "smoke"
-    desc = ("FULL production config (ngf 64, 9 blocks, batch 32, warmup "
+    tag = ("stretch512" if args.stretch512
+           else "flagship" if args.flagship else "smoke")
+    desc = ("512² STRETCH config (train_gan_cutpp_512.yaml at its per-chip "
+            "shard: ngf 64, 9 blocks, batch 8, remat off, warmup 20000)"
+            if args.stretch512 else
+            "FULL production config (ngf 64, 9 blocks, batch 32, warmup "
             "20000 — the benchmarked model)" if args.flagship else
             "Reduced CUT config, batch 16 (ngf 32, 4 blocks)")
     fig.suptitle(f"CUT convergence {tag} — synthetic two-domain, "

@@ -30,3 +30,8 @@ $EVAL --fake generated_images --real data/monet_jpg \
 # 6. Debug/minimal run (small batch, no cache)
 $EVAL --fake generated_images --real data/monet_jpg \
       --inception-weights "$WEIGHTS" --batch 8 --no-cache
+
+# 7. Straight off the Kaggle TFRecord shards (no unpack step; scores are
+#    identical to the unpacked folder — the embedded bytes are the JPEGs)
+$EVAL --fake generated_images --real data/monet_tfrec \
+      --inception-weights "$WEIGHTS"

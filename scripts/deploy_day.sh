@@ -80,6 +80,13 @@ stage_train() {
       --ckpt runs/flagship/ckpt/ckpt_final.msgpack \\
       --photos $PHOTOS --out runs/flagship/images \\
       --limit 7000 --zip runs/flagship/images.zip
+
+[train] inspect / freeze the final checkpoint for serving:
+
+  python -m gan_variant_research_tpu.cli.ckpt_info \\
+      --ckpt runs/flagship/ckpt/ckpt_final.msgpack
+  python -m gan_variant_research_tpu.cli.export_serving \\
+      --ckpt runs/flagship/ckpt/ckpt_final.msgpack --out monet.gvrserve
 EOF
 }
 

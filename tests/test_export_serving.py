@@ -104,6 +104,43 @@ def test_cyclegan_directions(tmp_path):
     assert not np.array_equal(outs["A2B"], outs["B2A"])
 
 
+def test_variant_checkpoint_serves_and_exports(tmp_path):
+    """A checkpoint trained with the restored variant features (attention /
+    channel attention / style dropout) reconstructs from its stored config
+    and serves identically through generate_folder's loader and the
+    StableHLO export (StyleGate is a no-op at inference — no key)."""
+    from gan_variant_research_tpu.cli.generate_folder import (
+        load_generator_params,
+    )
+
+    var_cfg = {"ngf": 4, "n_blocks": 2,
+               "use_attention": True, "attn_layers": [1],
+               "use_channel_attn": True, "channel_attn_layers": [1],
+               "use_style_dropout": True}
+    gen = build_generator(var_cfg, DEFAULT_POLICY)
+    params = jax.jit(
+        lambda: gen.init(jax.random.key(0),
+                         jnp.zeros((1, SIZE, SIZE, 3)))["params"])()
+    assert any(k.startswith(("attn_", "se_", "style_")) or "attn" in k
+               for k in params), sorted(params)  # variant modules exist
+    path = tmp_path / "variant.msgpack"
+    save_checkpoint(path, 0,
+                    {"generator": params,
+                     "ema_G": {"decay": 0.999, "shadow": params}},
+                    config={"model": {"generator": var_cfg}})
+
+    loaded_gen, loaded_params, _ = load_generator_params(str(path))
+    u8 = _u8(2)
+    direct = np.asarray(jax.jit(make_serve_fn(gen, params, SIZE))(u8))
+    via_loader = np.asarray(
+        jax.jit(make_serve_fn(loaded_gen, loaded_params, SIZE))(u8))
+    assert np.array_equal(via_loader, direct)
+
+    serve = load_artifact(export_serving(
+        path, tmp_path / "variant.gvrserve", size=SIZE, platforms=("cpu",)))
+    assert np.array_equal(np.asarray(serve(u8)), direct)
+
+
 def test_multiplatform_lowering_and_cli(cut_ckpt, tmp_path):
     """tpu+cpu lowering from a CPU host (the deploy-day flow), via main()."""
     path, gen, _, ema = cut_ckpt

@@ -160,9 +160,15 @@ def stylize_folder(
         # outputs are pixel-identical
         src = TFRecordImageSource(photos_dir, size, resample="bilinear")
         paths = list(range(len(src)))
+        # record names are captured during decode (get_with_name: one record
+        # read serves both pixels and name) and sanitized to their final
+        # path component — a corrupt/adversarial image_name must not escape
+        # --out (same invariant as tfrec_tool.unpack)
+        names: dict[int, str] = {}
 
         def rel_of(i) -> Path:
-            return Path(src.name(i))
+            nm = Path(names.get(i) or f"{i:05d}.jpg").name
+            return Path(nm if nm not in (".", "..", "") else f"{i:05d}.jpg")
     else:
         src = None
         paths = enumerate_images(photos_dir, recursive=True)
@@ -209,7 +215,9 @@ def stylize_folder(
 
     def load_img(p):
         if src is not None:  # TFRecord index (per-thread file handles)
-            return src.get(p)
+            arr, name = src.get_with_name(p)
+            names[p] = name  # distinct keys per thread → GIL-safe
+            return arr
         # native libjpeg fast path (pixel-identical to PIL, GIL-free);
         # PIL handles everything else + the bilinear resize
         from gan_variant_research_tpu.data.native_loader import decode_jpeg

@@ -64,7 +64,14 @@ def make_source(path: str | Path, size: int):
     directory containing such files (the Kaggle dataset's native format,
     data/tfrecord.py); ImageFolderSource otherwise. Both expose the same
     ``__len__``/``get`` surface, so the epoch streams, multi-host slicing,
-    and resume fast-forward are source-agnostic."""
+    and resume fast-forward are source-agnostic.
+
+    An already-built source passes through unchanged, so callers that need
+    the source before the loader exists (e.g. the CycleGAN loop's
+    steps-per-epoch count) construct it once — a TFRecord source pays a
+    full framing/CRC index pass over every shard at construction."""
+    if not isinstance(path, (str, Path)):  # a prebuilt source object
+        return path
     p = Path(path)
     tfrec_exts = (".tfrec", ".tfrecord")
     if p.is_file() and p.suffix.lower() in tfrec_exts:

@@ -102,19 +102,28 @@ long gvr_encode_jpeg(const unsigned char* rgb, int h, int w, int quality,
                      unsigned long out_capacity) {
   jpeg_compress_struct cinfo;
   ErrorMgr jerr;
-  unsigned char* buf = nullptr;  // libjpeg-malloc'd; grows as needed
-  unsigned long buf_size = 0;
+  // The output buffer slot lives on the heap, NOT in an automatic local:
+  // jpeg_mem_dest rewrites the slot after setjmp, and a non-volatile
+  // automatic modified between setjmp and longjmp is indeterminate in the
+  // error path (the compiler may keep the pre-setjmp nullptr in a register
+  // — leaking the libjpeg buffer — or free a clobbered value). Only the
+  // POINTER to the slot is read after longjmp, and it is set before setjmp
+  // and never changed.
+  struct MemBuf { unsigned char* buf; unsigned long size; };
+  MemBuf* mem = static_cast<MemBuf*>(calloc(1, sizeof(MemBuf)));
+  if (!mem) return -1;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = emit_nothing;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_compress(&cinfo);
-    if (buf) free(buf);
+    if (mem->buf) free(mem->buf);
+    free(mem);
     return -1;
   }
 
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &buf, &buf_size);
+  jpeg_mem_dest(&cinfo, &mem->buf, &mem->size);
   cinfo.image_width = static_cast<JDIMENSION>(w);
   cinfo.image_height = static_cast<JDIMENSION>(h);
   cinfo.input_components = 3;
@@ -139,13 +148,14 @@ long gvr_encode_jpeg(const unsigned char* rgb, int h, int w, int quality,
   jpeg_destroy_compress(&cinfo);
 
   long rc;
-  if (buf_size <= out_capacity) {
-    memcpy(out, buf, buf_size);
-    rc = static_cast<long>(buf_size);
+  if (mem->size <= out_capacity) {
+    memcpy(out, mem->buf, mem->size);
+    rc = static_cast<long>(mem->size);
   } else {
     rc = -2;
   }
-  free(buf);
+  free(mem->buf);
+  free(mem);
   return rc;
 }
 
@@ -178,6 +188,6 @@ unsigned int gvr_crc32c(const unsigned char* data, unsigned long size,
   return ~crc;
 }
 
-int gvr_version() { return 2; }
+int gvr_version() { return 3; }
 
 }  // extern "C"

@@ -20,22 +20,36 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SO_PATH = _NATIVE_DIR / "libgvrnative.so"
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
 
 def _build() -> bool:
+    # Compile to a temp file and os.replace into place: a stale-ABI .so may
+    # still be mapped by the dlopen that just failed the version check
+    # (ctypes never dlcloses), and the loader caches handles by inode —
+    # rewriting the mapped inode in place both corrupts the live mapping and
+    # makes the second dlopen return the stale cached handle. A fresh inode
+    # avoids both (and keeps concurrent processes from racing the write).
+    import os
+
     src = _NATIVE_DIR / "codec.cpp"
+    tmp = _SO_PATH.with_name(f".libgvrnative.{os.getpid()}.tmp.so")
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO_PATH), str(src),
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(src),
              "-ljpeg"],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

@@ -110,6 +110,12 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("varint too long")
 
 
+def _to_int64(v: int) -> int:
+    """Varints are decoded unsigned; Int64List values are signed two's
+    complement (a negative int64 arrives as a 10-byte varint ≥ 2^63)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _walk(buf: bytes):
     """Yield (field_number, wire_type, value) over one message's fields.
 
@@ -151,12 +157,12 @@ def _parse_list(kind: int, buf: bytes):
                     struct.unpack(f"<{len(value) // 4}f", value))
         else:  # int64: packed (wire 2) or single varint (wire 0)
             if wire == 0:
-                out.append(value)
+                out.append(_to_int64(value))
             else:
                 pos = 0
                 while pos < len(value):
                     v, pos = _read_varint(value, pos)
-                    out.append(v)
+                    out.append(_to_int64(v))
     return out
 
 
@@ -263,22 +269,34 @@ class TFRecordImageSource:
             fh = handles[path] = open(path, "rb")
         return fh
 
-    def name(self, idx: int) -> str:
-        """Per-record output name: the ``image_name`` feature when present
-        (the Kaggle schema), else a stable zero-padded index. Lets serving
-        (cli/generate_folder.py) mirror record identity into a file tree."""
+    def _record(self, idx: int) -> bytes:
         path, offset, length = self._entries[idx]
-        record = read_record(self._file(path), offset, length,
-                             verify=self.verify)
+        return read_record(self._file(path), offset, length,
+                           verify=self.verify)
+
+    def _name_from(self, record: bytes, idx: int) -> str:
         vals = parse_example(record).get("image_name")
         if vals and isinstance(vals[0], bytes) and vals[0]:
             return vals[0].decode("utf-8", errors="replace")
         return f"{idx:05d}.jpg"
 
+    def name(self, idx: int) -> str:
+        """Per-record output name: the ``image_name`` feature when present
+        (the Kaggle schema), else a stable zero-padded index. Lets serving
+        (cli/generate_folder.py) mirror record identity into a file tree."""
+        return self._name_from(self._record(idx), idx)
+
+    def get_with_name(self, idx: int) -> tuple[np.ndarray, str]:
+        """Decode AND name one record from a single read+parse — serving
+        (cli/generate_folder.py) needs both and shouldn't pay the record
+        I/O twice."""
+        record = self._record(idx)
+        return (self._decode(record), self._name_from(record, idx))
+
     def get(self, idx: int) -> np.ndarray:
-        path, offset, length = self._entries[idx]
-        record = read_record(self._file(path), offset, length,
-                             verify=self.verify)
+        return self._decode(self._record(idx))
+
+    def _decode(self, record: bytes) -> np.ndarray:
         data = _example_image_bytes(record, self.image_key)
         arr = decode_jpeg(data)
         if arr is None:  # non-JPEG payloads (e.g. PNG) → PIL
@@ -303,6 +321,13 @@ class TFRecordImageSource:
 
 
 def _encode_varint(v: int) -> bytes:
+    # protobuf encodes negative int64s as their 64-bit two's complement
+    # (a 10-byte varint); without the mask the arithmetic right shift
+    # converges to -1 and the loop never terminates
+    if not -(1 << 63) <= v < (1 << 64):
+        raise ValueError(f"varint out of 64-bit range: {v}")
+    if v < 0:
+        v &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = v & 0x7F

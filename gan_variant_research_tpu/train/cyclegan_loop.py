@@ -34,11 +34,14 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None,
     root = Path(data_cfg["root"])
     # count through make_source, not list_images: the domains may be
     # TFRecord shards (data/tfrecord.py), where an image glob returns 0 and
-    # would silently truncate training to zero steps
+    # would silently truncate training to zero steps. Built ONCE and handed
+    # to the loader below — a TFRecord source indexes every shard at
+    # construction, and the loader's own make_source passes prebuilt
+    # sources through.
     load_size = data_cfg.get("load_size", 286)
-    n_a = len(make_source(root / data_cfg["domain_a"], load_size))
-    n_b = len(make_source(root / data_cfg["domain_b"], load_size))
-    steps_per_epoch = max(n_a, n_b) // t_cfg["batch_size"]
+    source_a = make_source(root / data_cfg["domain_a"], load_size)
+    source_b = make_source(root / data_cfg["domain_b"], load_size)
+    steps_per_epoch = max(len(source_a), len(source_b)) // t_cfg["batch_size"]
     trainer = CycleGANTrainer(config, steps_per_epoch=steps_per_epoch)
 
     # resolve the resume point BEFORE building the loader so the index
@@ -58,8 +61,8 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None,
             print(f"Resuming from step {start_step} ({path})")
 
     loader = UnpairedLoader(
-        root / data_cfg["domain_a"],
-        root / data_cfg["domain_b"],
+        source_a,
+        source_b,
         batch_size=t_cfg["batch_size"],
         size=data_cfg.get("load_size", 286),
         seed=t_cfg.get("seed", 0),

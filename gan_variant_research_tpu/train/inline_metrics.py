@@ -21,9 +21,15 @@ metric scores) serves BOTH inline metrics:
 
 ``EarlyStoppingTracker`` semantics (re-designed from the surviving config
 keys): FID must improve by more than ``fid_plateau_threshold`` within
-``patience`` consecutive evaluations, and d_min must not fall more than
-``dmin_drop_threshold`` below its running maximum (a memorization alarm
-that fires immediately, not on patience).
+``patience`` consecutive evaluations, and d_min must not drop BELOW
+``dmin_drop_threshold`` (an absolute memorization floor that fires
+immediately, not on patience). The floor semantics match the domain's own
+memorization test — Kaggle's MiFID applies its penalty when the mean min
+cosine distance falls under ``cosine_eps`` (0.1, EVAL/eval/cli.py defaults)
+— and, unlike a drop-relative-to-maximum rule, do not fire on ordinary
+convergence: d_min legitimately decreases from its untrained-model value as
+the generator learns the target style; only a collapse toward zero (fakes
+becoming near-copies of bank images) crosses the floor.
 """
 
 from __future__ import annotations
@@ -49,7 +55,6 @@ class EarlyStoppingTracker:
         self.dmin_drop_threshold = float(dmin_drop_threshold)
         self.best_fid = math.inf
         self.strikes = 0
-        self.max_dmin = -math.inf
         self.reason: str | None = None
 
     def update(self, fid: float | None = None,
@@ -70,15 +75,13 @@ class EarlyStoppingTracker:
                         f"evals (best {self.best_fid:.3f})"
                     )
                     return True
-        if d_min is not None:
-            self.max_dmin = max(self.max_dmin, d_min)
-            if self.max_dmin - d_min > self.dmin_drop_threshold:
-                self.reason = (
-                    f"memorization alarm: d_min fell to {d_min:.4f}, "
-                    f"{self.max_dmin - d_min:.4f} below its max "
-                    f"{self.max_dmin:.4f} (> {self.dmin_drop_threshold})"
-                )
-                return True
+        if d_min is not None and d_min < self.dmin_drop_threshold:
+            self.reason = (
+                f"memorization alarm: d_min dropped to {d_min:.4f}, below "
+                f"the {self.dmin_drop_threshold} floor (fakes are "
+                "near-copies of feature-bank images)"
+            )
+            return True
         return False
 
 

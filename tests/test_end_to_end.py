@@ -240,3 +240,39 @@ def test_generate_folder_serves_tfrecord_shards(workspace, trained, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(Image.open(a)), np.asarray(Image.open(b)),
             err_msg=f"{a.name} differs between tfrec and folder serving")
+
+
+def test_tfrecord_serving_sanitizes_record_names(workspace, trained, tmp_path):
+    """A corrupt/adversarial image_name must not escape --out: serving
+    keeps only the name's final path component (the same invariant
+    tfrec_tool.unpack enforces)."""
+    from gan_variant_research_tpu.cli.generate_folder import (
+        load_generator_params,
+        stylize_folder,
+    )
+    from gan_variant_research_tpu.data import tfrecord as tfr
+    from gan_variant_research_tpu.data.folders import list_images
+
+    photos = list_images(workspace / "photos")[:3]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    evil_names = ["../../escape", "/abs/path/abs_escape", "nested/dir/deep"]
+    tfr.write_tfrecord(shard_dir / "part-00.tfrec", [
+        tfr.make_example({"image_name": n, "image": p.read_bytes()})
+        for n, p in zip(evil_names, photos)
+    ])
+
+    out_root = tmp_path / "sandbox"
+    out_dir = out_root / "out"
+    final = workspace / "ckpts" / "ckpt_final.msgpack"
+    generator, params, _ = load_generator_params(final, use_ema=True)
+    written = stylize_folder(generator, params, shard_dir, out_dir,
+                             size=32, batch=4)
+    assert len(written) == 3
+    for w in written:
+        assert w.resolve().is_relative_to(out_dir.resolve()), \
+            f"{w} escaped the output tree"
+    assert sorted(p.name for p in written) == \
+        ["abs_escape.jpg", "deep.jpg", "escape.jpg"]
+    assert not (tmp_path / "escape.jpg").exists()
+    assert not Path("/abs/path/abs_escape.jpg").exists()

@@ -182,6 +182,35 @@ def test_make_example_parsed_by_protobuf_oracle():
     assert list(f["weight"].float_list.value) == [0.5]
 
 
+def test_negative_int64_both_directions_vs_oracle():
+    """Negative int64 features: protobuf encodes them as 10-byte
+    two's-complement varints. The encoder used to loop forever on them
+    (arithmetic right shift converges to -1) and the parser returned the
+    raw unsigned value (2^64-1 instead of -1)."""
+    Example = _oracle_example_class()
+
+    # ours → oracle
+    blob = tfr.make_example({"target": -1})
+    assert list(Example.FromString(blob).features.feature[
+        "target"].int64_list.value) == [-1]
+
+    # oracle → ours (single varint AND the boundary values)
+    ex = Example()
+    ex.features.feature["t"].int64_list.value.extend(
+        [-1, -(1 << 63), (1 << 63) - 1, 0, 7])
+    got = tfr.parse_example(ex.SerializeToString())
+    assert got["t"] == [-1, -(1 << 63), (1 << 63) - 1, 0, 7]
+
+    # full round trip through our own writer/parser
+    for v in (-1, -123456789, -(1 << 63)):
+        assert tfr.parse_example(tfr.make_example({"x": v}))["x"] == [v]
+
+    with pytest.raises(ValueError, match="range"):
+        tfr._encode_varint(1 << 64)
+    with pytest.raises(ValueError, match="range"):
+        tfr._encode_varint(-(1 << 63) - 1)
+
+
 # --- image source ------------------------------------------------------------
 
 
@@ -217,6 +246,16 @@ def test_source_explicit_key_and_errors(tfrec_dir, tmp_path):
         bad.get(0)
     with pytest.raises(FileNotFoundError):
         tfr.TFRecordImageSource(tmp_path / "empty-missing", size=32)
+
+
+def test_get_with_name_matches_separate_calls(tfrec_dir):
+    """get_with_name (serving's single-read path) must agree with the
+    separate get()/name() accessors record for record."""
+    src = tfr.TFRecordImageSource(tfrec_dir, size=48)
+    for i in (0, 2, 6):
+        arr, name = src.get_with_name(i)
+        np.testing.assert_array_equal(arr, src.get(i))
+        assert name == src.name(i)
 
 
 def test_source_png_payload(tmp_path):

@@ -210,6 +210,7 @@ CUT_SCHEMA: dict = {
             "padding_type": str,
             "use_attention": bool,
             "attn_layers": list,
+            "attn_flash": (bool, str),
             "use_channel_attn": bool,
             "channel_attn_layers": list,
             "use_style_dropout": bool,

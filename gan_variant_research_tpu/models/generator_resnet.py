@@ -161,6 +161,9 @@ class ResNetGenerator(nn.Module):
     # models/attention.py — see module docstring)
     use_attention: bool = False
     attn_layers: Sequence[int] = (3, 7)
+    # Pallas flash kernel for the attention core ("auto" = on TPU when the
+    # shape is eligible; models/attention.py::flash_eligible)
+    attn_flash: Any = "auto"
     use_channel_attn: bool = False
     channel_attn_layers: Sequence[int] = (5,)
     use_style_dropout: bool = False
@@ -250,7 +253,8 @@ class ResNetGenerator(nn.Module):
             if self.use_attention and i in tuple(self.attn_layers):
                 from gan_variant_research_tpu.models.attention import SelfAttention2d
 
-                h = SelfAttention2d(res_channels, name=f"attn_{i}", **kw)(h)
+                h = SelfAttention2d(res_channels, flash=self.attn_flash,
+                                    name=f"attn_{i}", **kw)(h)
             if self.use_channel_attn and i in tuple(self.channel_attn_layers):
                 from gan_variant_research_tpu.models.attention import ChannelAttention
 

@@ -83,6 +83,7 @@ def build_generator(gen_cfg: dict, policy: Policy) -> ResNetGenerator:
         activation=gen_cfg.get("activation", "relu"),
         use_attention=gen_cfg.get("use_attention", False),
         attn_layers=tuple(gen_cfg.get("attn_layers", (3, 7))),
+        attn_flash=gen_cfg.get("attn_flash", "auto"),
         use_channel_attn=gen_cfg.get("use_channel_attn", False),
         channel_attn_layers=tuple(gen_cfg.get("channel_attn_layers", (5,))),
         use_style_dropout=gen_cfg.get("use_style_dropout", False),

@@ -196,3 +196,72 @@ class TestTrainStepWithVariants:
 
         a, b_ = run(), run()
         assert a == b_
+
+
+class TestFlashAttentionKernel:
+    """The Pallas flash path must be the same math as the einsum core.
+
+    The suite runs on the virtual CPU mesh, so the kernel executes under
+    Pallas TPU interpret mode — same program, simulated grid — against the
+    einsum reference. On-chip timing lives in docs/PERF.md ("Variant
+    self-attention: flash kernel")."""
+
+    @staticmethod
+    def _einsum_core(q, k, v):
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32)
+        return jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(logits, -1), v)
+
+    def test_flash_matches_einsum_fwd_and_grads(self):
+        import jax.experimental.pallas.tpu as pltpu
+
+        from gan_variant_research_tpu.models.attention import (
+            flash_spatial_attention,
+        )
+
+        B, N, C, inner = 2, 1024, 128, 16
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq, (B, N, inner), jnp.float32)
+        k = jax.random.normal(kk, (B, N, inner), jnp.float32)
+        v = jax.random.normal(kv, (B, N, C), jnp.float32)
+
+        def loss(f):
+            return lambda q, k, v: jnp.sum(f(q, k, v) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(flash_spatial_attention(q, k, v))
+            gf = jax.grad(loss(flash_spatial_attention),
+                          argnums=(0, 1, 2))(q, k, v)
+        ref = np.asarray(self._einsum_core(q, k, v))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        gr = jax.grad(loss(self._einsum_core), argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+            assert rel < 1e-4, f"d{name} max-rel {rel}"
+
+    def test_flash_eligibility_routing(self):
+        from gan_variant_research_tpu.models.attention import flash_eligible
+
+        # "auto" resolves by backend: the suite is pinned to CPU → einsum
+        assert jax.default_backend() == "cpu"
+        assert not flash_eligible(4096, 32, 256, "auto")
+        # explicit True honors the shape gates
+        assert flash_eligible(4096, 32, 256, True)       # the 64² trunk
+        assert flash_eligible(16384, 32, 256, True)      # the 128² trunk
+        assert not flash_eligible(64, 8, 256, True)      # tiny test grids
+        assert not flash_eligible(4096, 32, 192, True)   # C % 128 != 0
+        assert not flash_eligible(4096, 200, 256, True)  # q/k wider than a head
+        assert not flash_eligible(4096, 32, 256, False)
+
+    def test_module_einsum_path_unchanged_by_flash_flag(self):
+        """On CPU, flash="auto" and flash=False are the same program — the
+        routing must not perturb the shipped einsum numerics."""
+        from gan_variant_research_tpu.models.attention import SelfAttention2d
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 64))
+        m_auto = SelfAttention2d(64, flash="auto")
+        m_off = SelfAttention2d(64, flash=False)
+        p = m_auto.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_array_equal(
+            np.asarray(m_auto.apply(p, x)), np.asarray(m_off.apply(p, x)))

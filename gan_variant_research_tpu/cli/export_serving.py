@@ -77,6 +77,12 @@ def export_serving(
 
     generator, params, _ = load_generator_params(
         str(ckpt), use_ema=use_ema, direction=direction)
+    if getattr(generator, "use_attention", False):
+        # the portable artifact must lower for every requested platform
+        # with a symbolic batch dim — the Pallas flash kernel has neither a
+        # CPU lowering nor a polymorphic grid, so exports always take the
+        # exact einsum attention core (models/attention.py)
+        generator = generator.clone(attn_flash=False, attn_mesh=None)
     serve = make_serve_fn(generator, params, size)
 
     in_size = size if in_size is None else in_size

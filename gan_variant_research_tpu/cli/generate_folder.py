@@ -187,6 +187,11 @@ def stylize_folder(
     # ones. Single-process by design — local devices, not global.
     mesh = create_mesh(num_devices=num_devices, devices=jax.local_devices())
     dp = mesh.num_devices > 1
+    if dp and getattr(generator, "use_attention", False):
+        # variant checkpoints: the attention blocks must know the DP mesh —
+        # the Pallas flash kernel cannot be auto-partitioned by GSPMD and
+        # runs under shard_map instead (models/attention.py)
+        generator = generator.clone(attn_mesh=mesh)
     jit_kwargs = {}
     if dp:
         if batch % mesh.num_devices:

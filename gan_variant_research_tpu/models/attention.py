@@ -50,19 +50,38 @@ from gan_variant_research_tpu.ops.nn_ops import instance_norm
 _FLASH_HEAD_DIM = 128  # MXU lane width; also the kernel's preferred tiling
 
 
-def flash_eligible(n: int, inner: int, c: int, flash: bool | str) -> bool:
+def flash_eligible(n: int, inner: int, c: int, flash: bool | str,
+                   mesh=None, batch: int | None = None) -> bool:
     """Static routing decision for the SAGAN attention core.
 
-    The Pallas flash kernel needs: a TPU backend (``"auto"`` resolves via
+    The Pallas flash kernel needs: a TPU target (``"auto"`` resolves from
+    the mesh's device platform when one is wired, else from
     ``jax.default_backend()``; the kernel does not run on CPU), a spatial
     sequence that its 512-wide blocks tile (``n % 512 == 0`` and big enough
     for the traffic win to matter), value channels that split into 128-wide
-    heads, and q/k channels that zero-pad into one head. Ineligible shapes
-    fall back to the exact einsum path — tiny test grids, odd channel
-    counts, and CPU runs are all served there.
+    heads, and q/k channels that zero-pad into one head. On a multi-device
+    mesh the kernel additionally needs the batch to split evenly across the
+    ``data`` axis — Mosaic kernels cannot be auto-partitioned by GSPMD, so
+    the multi-device route goes through an explicit ``shard_map`` (see
+    :class:`SelfAttention2d`) whose shards must be non-empty. Ineligible
+    shapes fall back to the exact einsum path — tiny test grids, odd
+    channel counts, CPU runs, and non-dividing batches are all served
+    there.
     """
+    if flash not in (True, False, "auto"):
+        # "Auto", "false", "off"… would otherwise be truthy strings that
+        # silently force the kernel on
+        raise ValueError(
+            f"attn_flash must be true, false or 'auto', got {flash!r}")
     if flash == "auto":
-        flash = jax.default_backend() == "tpu"
+        if mesh is not None:
+            platform = mesh.mesh.devices.flat[0].platform
+        else:
+            platform = jax.default_backend()
+        flash = platform == "tpu"
+    if mesh is not None and mesh.num_devices > 1:
+        if batch is None or batch % mesh.num_devices != 0:
+            return False
     return (bool(flash) and n >= 1024 and n % 512 == 0
             and c % _FLASH_HEAD_DIM == 0 and inner <= _FLASH_HEAD_DIM)
 
@@ -123,9 +142,16 @@ class SelfAttention2d(nn.Module):
     channels: int
     reduction: int = 8
     # route the attention core through the Pallas flash kernel when the
-    # backend/shape allow it ("auto" = on TPU; see flash_eligible) — the
+    # target/shape allow it ("auto" = on TPU; see flash_eligible) — the
     # einsum fallback is the same math with the map materialized
     flash: bool | str = "auto"
+    # the DP MeshContext the surrounding jit shards batches over. Mosaic
+    # kernels cannot be auto-partitioned by GSPMD ("Mosaic kernels cannot
+    # be automatically partitioned" at lowering), so on a >1-device mesh
+    # the kernel runs under an explicit shard_map over the batch axis —
+    # per-sample math, so sharding it is exact. Trainers/serving wire this
+    # (cut_trainer.build_generator, generate_folder.stylize_folder).
+    mesh: Any = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -139,8 +165,20 @@ class SelfAttention2d(nn.Module):
         k = Conv2d(inner, name="key", **kw)(x).reshape(b, h * w, inner)
         v = Conv2d(c, name="value", **kw)(x).reshape(b, h * w, c)
 
-        if flash_eligible(h * w, inner, c, self.flash):
-            out = flash_spatial_attention(q, k, v).reshape(b, h, w, c)
+        if flash_eligible(h * w, inner, c, self.flash,
+                          mesh=self.mesh, batch=b):
+            fn = flash_spatial_attention
+            if self.mesh is not None and self.mesh.num_devices > 1:
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(self.mesh.data_axis)
+                # check_vma=False: pallas_call doesn't annotate varying
+                # mesh axes; the body is collective-free per-shard math,
+                # so there is nothing for the checker to verify anyway
+                fn = jax.shard_map(fn, mesh=self.mesh.mesh,
+                                   in_specs=(spec, spec, spec),
+                                   out_specs=spec, check_vma=False)
+            out = fn(q, k, v).reshape(b, h, w, c)
         else:
             # (B, HW, HW) attention logits: one batched matmul; softmax in
             # fp32 (bf16 logsumexp over 4096 terms loses too much

@@ -162,8 +162,10 @@ class ResNetGenerator(nn.Module):
     use_attention: bool = False
     attn_layers: Sequence[int] = (3, 7)
     # Pallas flash kernel for the attention core ("auto" = on TPU when the
-    # shape is eligible; models/attention.py::flash_eligible)
+    # shape is eligible; models/attention.py::flash_eligible) + the DP mesh
+    # it must shard_map over when the surrounding jit spans >1 device
     attn_flash: Any = "auto"
+    attn_mesh: Any = None
     use_channel_attn: bool = False
     channel_attn_layers: Sequence[int] = (5,)
     use_style_dropout: bool = False
@@ -254,6 +256,7 @@ class ResNetGenerator(nn.Module):
                 from gan_variant_research_tpu.models.attention import SelfAttention2d
 
                 h = SelfAttention2d(res_channels, flash=self.attn_flash,
+                                    mesh=self.attn_mesh,
                                     name=f"attn_{i}", **kw)(h)
             if self.use_channel_attn and i in tuple(self.channel_attn_layers):
                 from gan_variant_research_tpu.models.attention import ChannelAttention

@@ -70,8 +70,13 @@ class CUTTrainState(flax.struct.PyTreeNode):
     base_key: jax.Array
 
 
-def build_generator(gen_cfg: dict, policy: Policy) -> ResNetGenerator:
-    """Mirror of the reference generator builder (train_cutpp.py:93-110)."""
+def build_generator(gen_cfg: dict, policy: Policy,
+                    mesh=None) -> ResNetGenerator:
+    """Mirror of the reference generator builder (train_cutpp.py:93-110).
+
+    ``mesh`` (a ``MeshContext``) is wired into the attention blocks so the
+    flash kernel can shard_map over a >1-device DP mesh — Mosaic kernels
+    cannot be auto-partitioned by GSPMD (models/attention.py)."""
     sd = gen_cfg.get("style_dropout") or {}
     return ResNetGenerator(
         output_nc=3,
@@ -84,6 +89,7 @@ def build_generator(gen_cfg: dict, policy: Policy) -> ResNetGenerator:
         use_attention=gen_cfg.get("use_attention", False),
         attn_layers=tuple(gen_cfg.get("attn_layers", (3, 7))),
         attn_flash=gen_cfg.get("attn_flash", "auto"),
+        attn_mesh=mesh,
         use_channel_attn=gen_cfg.get("use_channel_attn", False),
         channel_attn_layers=tuple(gen_cfg.get("channel_attn_layers", (5,))),
         use_style_dropout=gen_cfg.get("use_style_dropout", False),
@@ -131,11 +137,11 @@ class CUTTrainer:
 
         gen_cfg = config["model"]["generator"]
         disc_cfg = config["model"]["discriminator"]
-        self.generator = build_generator(gen_cfg, self.policy)
+        self.generator = build_generator(gen_cfg, self.policy, self.mesh)
         self.discriminator = build_discriminator(disc_cfg, self.policy)
         # fp32 twins share the same param trees — the fp32 islands
         fp32 = Policy(compute_dtype=jnp.float32)
-        self.generator_f32 = build_generator(gen_cfg, fp32)
+        self.generator_f32 = build_generator(gen_cfg, fp32, self.mesh)
         self.discriminator_f32 = build_discriminator(disc_cfg, fp32)
 
         max_steps = self._max_steps_hint()

@@ -241,7 +241,10 @@ class TestFlashAttentionKernel:
             assert rel < 1e-4, f"d{name} max-rel {rel}"
 
     def test_flash_eligibility_routing(self):
+        import pytest
+
         from gan_variant_research_tpu.models.attention import flash_eligible
+        from gan_variant_research_tpu.parallel.mesh import create_mesh
 
         # "auto" resolves by backend: the suite is pinned to CPU → einsum
         assert jax.default_backend() == "cpu"
@@ -253,6 +256,54 @@ class TestFlashAttentionKernel:
         assert not flash_eligible(4096, 32, 192, True)   # C % 128 != 0
         assert not flash_eligible(4096, 200, 256, True)  # q/k wider than a head
         assert not flash_eligible(4096, 32, 256, False)
+        # any string but the literal "auto" must fail loudly, not silently
+        # force the kernel on (quoted YAML "false" is a string)
+        for bad in ("false", "off", "Auto", "true"):
+            with pytest.raises(ValueError, match="attn_flash"):
+                flash_eligible(4096, 32, 256, bad)
+        # >1-device mesh: the shard_map route needs an evenly split batch
+        mesh8 = create_mesh(num_devices=8)
+        assert flash_eligible(4096, 32, 256, True, mesh=mesh8, batch=16)
+        assert not flash_eligible(4096, 32, 256, True, mesh=mesh8, batch=12)
+        assert not flash_eligible(4096, 32, 256, True, mesh=mesh8, batch=None)
+        # "auto" with a mesh consults the mesh's device platform (cpu here)
+        assert not flash_eligible(4096, 32, 256, "auto", mesh=mesh8, batch=16)
+
+    def test_flash_shard_map_over_dp_mesh_lowers(self):
+        """On a >1-device mesh the flash kernel runs under an explicit
+        shard_map over the batch axis — GSPMD cannot auto-partition Mosaic
+        kernels (the lowering error says "wrap the call in a shard_map",
+        which is exactly what SelfAttention2d does when mesh.num_devices>1).
+
+        Executing a multi-device interpret-mode kernel deadlocks XLA-CPU's
+        callback machinery, so this pins the route at the trace/lowering
+        level on the virtual 8-device mesh: the program must trace, and the
+        jit lowering must contain the manual (shard_map) sharding regions.
+        Kernel NUMERICS are pinned single-device by the interpret-mode test
+        above, and shard_map over per-sample math is exact by construction.
+        """
+        import jax.experimental.pallas.tpu as pltpu
+
+        from gan_variant_research_tpu.models.attention import SelfAttention2d
+        from gan_variant_research_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(num_devices=8)
+        B, H, W, C = 8, 32, 32, 128  # HW=1024: flash-eligible
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, H, W, C))
+        m_flash = SelfAttention2d(C, flash=True, mesh=mesh)
+        p = jax.eval_shape(
+            lambda: SelfAttention2d(C, flash=False).init(
+                jax.random.PRNGKey(0), x))
+        p = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), p)
+
+        out_aval = jax.eval_shape(m_flash.apply, p, x)
+        assert out_aval.shape == (B, H, W, C)
+        with pltpu.force_tpu_interpret_mode():
+            txt = jax.jit(
+                m_flash.apply,
+                in_shardings=(mesh.replicated(), mesh.batch_sharding(4)),
+            ).lower(p, x).as_text()
+        assert "manual" in txt or "shmap" in txt  # shard_map regions present
 
     def test_module_einsum_path_unchanged_by_flash_flag(self):
         """On CPU, flash="auto" and flash=False are the same program — the

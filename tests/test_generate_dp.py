@@ -77,3 +77,28 @@ def test_single_device_mesh_no_dp(photos, generator_and_params, tmp_path, capsys
                    size=32, batch=3, num_devices=1)
     out = capsys.readouterr().out
     assert "data-parallel" not in out
+
+
+def test_dp_serves_attention_checkpoint(photos, tmp_path):
+    """Variant (attention) generators under DP serving: stylize_folder
+    wires the mesh into the attention blocks (the flash kernel needs an
+    explicit shard_map on >1-device meshes; on this CPU mesh the route
+    resolves to the einsum core either way) and the sharded rows must
+    match the single-device run."""
+    import jax
+
+    gen = build_generator(
+        {"ngf": 8, "n_blocks": 2, "use_attention": True, "attn_layers": [0]},
+        DEFAULT_POLICY)
+    params = jax.jit(lambda: gen.init(
+        jax.random.key(1), np.zeros((1, 32, 32, 3), np.float32)
+    )["params"])()
+    single = stylize_folder(gen, params, photos, tmp_path / "single",
+                            size=32, batch=4, num_devices=1)
+    dp = stylize_folder(gen, params, photos, tmp_path / "dp",
+                        size=32, batch=8, num_devices=8)
+    assert len(single) == len(dp) == 11
+    s, d = _read_tree(tmp_path / "single"), _read_tree(tmp_path / "dp")
+    for name in s:
+        diff = np.abs(s[name].astype(int) - d[name].astype(int))
+        assert diff.max() <= 1, f"{name}: max pixel diff {diff.max()}"

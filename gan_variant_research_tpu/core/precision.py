@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 def _cast_floating(tree, dtype):
     def cast(x):
-        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+        # by dtype, not isinstance: host-side trees (e.g. checkpoint
+        # restores) carry np.ndarray leaves, which are not jax Arrays —
+        # an isinstance(jnp.ndarray) check would silently skip them
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 

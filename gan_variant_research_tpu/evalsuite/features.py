@@ -91,6 +91,15 @@ class InceptionFeatureExtractor:
         self.batch_size = batch_size
         self.img_size = img_size
         self.num_workers = num_workers
+        # identity of the feature space this extractor produces — part of
+        # the real-stats cache key (stats from random weights or another
+        # resolution must never be reused for a different extractor)
+        if weights_path is not None:
+            w = Path(weights_path)
+            weights_id = f"{w.name}:{w.stat().st_size}"
+        else:
+            weights_id = "random" if allow_random else "default"
+        self.identity_tag = f"{weights_id}:{img_size}"
 
     def extract(self, paths: list[Path], desc: str = "images",
                 verbose: bool = True) -> np.ndarray:
@@ -111,25 +120,45 @@ class InceptionFeatureExtractor:
         return np.concatenate(feats, axis=0)
 
 
-def cache_path_for(cache_dir: str | Path, dataset_hash: str) -> Path:
-    return Path(cache_dir) / "real_stats" / f"{dataset_hash}.npz"
+def cache_path_for(cache_dir: str | Path, dataset_hash: str,
+                   extractor_tag: str = "") -> Path:
+    """Cache file for (dataset, extractor) — the key must cover BOTH: the
+    same real folder scored through random weights, different canonical
+    weights, or a different input resolution lives in a different feature
+    space, and reusing its stats silently corrupts every later FID."""
+    import hashlib
+
+    suffix = ""
+    if extractor_tag:
+        suffix = "-" + hashlib.sha1(extractor_tag.encode()).hexdigest()[:12]
+    return Path(cache_dir) / "real_stats" / f"{dataset_hash}{suffix}.npz"
 
 
 def save_cached_stats(path: Path, mu, sigma, features, n: int):
+    import os
+
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, mu=mu, sigma=sigma, features=features, n=n)
+    # atomic like save_checkpoint: a crash mid-write must not leave a
+    # truncated npz wedging every later run at load time
+    tmp = path.with_name(path.stem + ".tmp.npz")  # savez keeps a .npz name
+    np.savez_compressed(tmp, mu=mu, sigma=sigma, features=features, n=n)
+    os.replace(tmp, path)
 
 
 def load_cached_stats(path: Path):
     if not path.exists():
         return None
-    data = np.load(path)
-    return {
-        "mu": data["mu"],
-        "sigma": data["sigma"],
-        "features": data["features"],
-        "n": int(data["n"]),
-    }
+    try:
+        data = np.load(path)
+        return {
+            "mu": data["mu"],
+            "sigma": data["sigma"],
+            "features": data["features"],
+            "n": int(data["n"]),
+        }
+    except Exception as e:  # corrupt/truncated cache → recompute, don't wedge
+        print(f"WARNING: ignoring unreadable stats cache {path}: {e}")
+        return None
 
 
 def compute_or_load_real_stats(
@@ -141,7 +170,8 @@ def compute_or_load_real_stats(
     verbose: bool = True,
 ):
     """Cached (μ, Σ, features, n) for the real set (features.py:141-259)."""
-    path = cache_path_for(cache_dir, dataset_hash)
+    path = cache_path_for(cache_dir, dataset_hash,
+                          getattr(extractor, "identity_tag", ""))
     if use_cache:
         cached = load_cached_stats(path)
         if cached is not None and cached["n"] == len(real_paths):

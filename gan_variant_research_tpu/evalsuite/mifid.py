@@ -15,7 +15,6 @@ import numpy as np
 
 from gan_variant_research_tpu.evalsuite.features import (
     InceptionFeatureExtractor,
-    compute_or_load_real_stats,
 )
 from gan_variant_research_tpu.evalsuite.frechet import (
     frechet_distance,

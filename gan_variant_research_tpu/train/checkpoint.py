@@ -66,13 +66,24 @@ def save_checkpoint(
     os.replace(tmp, path)
 
     if keep_last_n is not None and keep_last_n > 0:
+        cur_m = _STEP_RE.search(path.name)
+        cur = int(cur_m.group(1)) if cur_m else None
         steps = []
         for p in path.parent.glob("ckpt_step*.msgpack"):
             m = _STEP_RE.search(p.name)
             if m:
                 steps.append((int(m.group(1)), p))
         steps.sort()
-        for _, p in steps[:-keep_last_n]:
+        # Prune only checkpoints at or below the one just written: after a
+        # rollback-resume the dir can hold STALE files from a further-along
+        # run (e.g. ckpt_step12000..20000 while we re-save step 11000) —
+        # counting those against keep_last_n would delete the file we just
+        # wrote and every subsequent save until the old high-water mark is
+        # passed. Stale future files are left alone (they prune normally
+        # once the run overtakes them); the just-written file is always the
+        # newest eligible entry, so it survives any keep_last_n ≥ 1.
+        eligible = [(n, p) for n, p in steps if cur is None or n <= cur]
+        for _, p in eligible[:-keep_last_n]:
             p.unlink(missing_ok=True)
     return path
 
@@ -169,14 +180,25 @@ def load_checkpoint(path: str | Path, target_payload=None) -> dict[str, Any]:
     }
 
 
+def _stored_step(path: Path) -> int:
+    """The authoritative step recorded INSIDE a checkpoint file."""
+    with open(path, "rb") as f:
+        return int(flax.serialization.msgpack_restore(f.read())["step"])
+
+
 def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
-    """Newest step checkpoint in a directory (prefers ``ckpt_final``)."""
+    """The checkpoint auto-resume should continue from.
+
+    ``ckpt_final`` wins only while it is actually the furthest-along state:
+    when a completed run is extended (max_steps raised) and later preempted,
+    the dir holds ``ckpt_final`` from the OLD completion alongside newer
+    ``ckpt_step*`` files — preferring final unconditionally would roll every
+    resume back to the old end state and the run could never make net
+    progress. The stored step (not the filename) is compared, since the two
+    naming schemes are offset differently from the internal counter."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.is_dir():
         return None
-    final = ckpt_dir / "ckpt_final.msgpack"
-    if final.exists():
-        return final
     best = None
     best_step = -1
     for p in ckpt_dir.glob("ckpt_step*.msgpack"):
@@ -191,4 +213,8 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
             if m and int(m.group(1)) > best_step:
                 best_step = int(m.group(1))
                 best = p
+    final = ckpt_dir / "ckpt_final.msgpack"
+    if final.exists():
+        if best is None or _stored_step(final) >= _stored_step(best):
+            return final
     return best

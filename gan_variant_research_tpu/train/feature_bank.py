@@ -50,9 +50,15 @@ def load_margin(path: str | Path | None, default: float = 0.25) -> float:
 
 
 def save_feature_bank(path: str | Path, features: np.ndarray) -> None:
+    import os
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, features=np.asarray(features, np.float32))
+    # atomic: a crash mid-write must not leave a truncated bank that
+    # ensure_feature_bank keeps loading forever
+    tmp = path.with_name(path.stem + ".tmp.npz")
+    np.savez_compressed(tmp, features=np.asarray(features, np.float32))
+    os.replace(tmp, path)
 
 
 def load_feature_bank(path: str | Path) -> np.ndarray:

@@ -53,7 +53,9 @@ def resolve_ckpt_every(config: dict) -> int:
             "from the config."
         )
     value = m if m is not None else c
-    return int(value) if value is not None else 2000
+    every = int(value) if value is not None else 2000
+    # 0 = periodic checkpoints disabled (the final checkpoint still writes)
+    return every
 
 
 def _check_finite(step: int, losses: dict):
@@ -194,6 +196,20 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
         # a pod where steps are dispatched ahead anyway), so fall back.
         print("runtime.steps_per_call>1 is single-host only; using 1")
         steps_per_call = 1
+    if steps_per_call > 1:
+        # state exists only at window boundaries, so every state-dependent
+        # cadence must land on one — otherwise a checkpoint labeled step s
+        # would silently contain state up to K-1 steps further along
+        for name, every in (("log cadence", log_every),
+                            ("checkpoint cadence", ckpt_every),
+                            ("inline-metrics cadence",
+                             inline_eval.eval_every if inline_eval else 0)):
+            if every and every % steps_per_call:
+                raise ValueError(
+                    f"runtime.steps_per_call={steps_per_call} requires the "
+                    f"{name} ({every}) to be a multiple of it — bookkeeping "
+                    "runs at window boundaries where the state matches its "
+                    "label exactly")
     # capture a jax.profiler trace of steps [10, 20) when configured
     profile_dir = runtime_cfg.get("profile_dir")
     profile_span = (start_step + 10, start_step + 20)
@@ -209,14 +225,20 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
 
     stop_early = False
 
+    last_tick = start_step  # completed-step count at the last log boundary
+
     def per_step_bookkeeping(s: int):
-        nonlocal t_window, imgs_in_window, stop_early
-        if s % log_every == 0 and s > 0:
+        nonlocal t_window, imgs_in_window, stop_early, last_tick
+        if log_every and s % log_every == 0 and s > 0:
             avg = averager.averages()
             dt = time.perf_counter() - t_window
             if dt > 0:
                 avg["images_per_sec"] = imgs_in_window / dt
-                avg["step_time_ms"] = 1000.0 * dt / max(1, log_every)
+                # steps actually executed since the last boundary — after a
+                # mid-cadence resume the first window is shorter than
+                # log_every and dividing by the cadence would misreport it
+                avg["step_time_ms"] = 1000.0 * dt / max(1, s - last_tick)
+            last_tick = s
             if tracker is not None:
                 tracker.log_json_line(s, avg)
             if is_main and (config.get("log") or {}).get("verbose", True):
@@ -225,7 +247,7 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             averager.clear()
             t_window = time.perf_counter()
             imgs_in_window = 0
-        if s % ckpt_every == 0 and s > 0 and is_main:
+        if ckpt_every and s % ckpt_every == 0 and s > 0 and is_main:
             path = ckpt_dir / f"ckpt_step{s}.msgpack"
             if ckpt_writer is not None:
                 # state arrays are immutable — capture by reference, write in
@@ -244,7 +266,8 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
                     config=config, keep_last_n=keep_last_n,
                 )
                 print(f"\nSaved checkpoint to {path}")
-        if inline_eval is not None and s > 0 and s % inline_eval.eval_every == 0:
+        if (inline_eval is not None and inline_eval.eval_every and s > 0
+                and s % inline_eval.eval_every == 0):
             from gan_variant_research_tpu.train.inline_metrics import (
                 append_metrics_line,
             )
@@ -284,8 +307,13 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             imgs_in_window += config["batch_size"] * k
             while len(pending) > 1:
                 drain(pending.pop(0))
-            for i in range(k):
-                per_step_bookkeeping(step + i)
+            if k > 1:
+                # state exists only at the window boundary; label bookkeeping
+                # with the completed-step count, which equals state.step
+                # there (cadences are validated as multiples of K above)
+                per_step_bookkeeping(step + k)
+            else:
+                per_step_bookkeeping(step)
             step += k
             if profiling and step >= profile_span[1]:
                 jax.profiler.stop_trace()

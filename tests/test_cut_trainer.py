@@ -223,3 +223,34 @@ def test_donate_raises_on_broken_backend():
     later (VERDICT r2 weak #2)."""
     with pytest.raises(RuntimeError, match="donate"):
         CUTTrainer(tiny_config(runtime={"precision": "fp32", "donate": True}))
+
+
+def test_pruning_survives_stale_future_checkpoints(tmp_path):
+    """Rollback-resume: the dir holds step files from a further-along run.
+    keep_last_n must never delete the checkpoint just written (it used to
+    count the stale future files against N and unlink the new file)."""
+    for s in [12, 14, 16, 18, 20]:  # stale files from before the rollback
+        save_checkpoint(tmp_path / f"ckpt_step{s}.msgpack", s, {"x": np.ones(2)})
+    save_checkpoint(tmp_path / "ckpt_step11.msgpack", 11, {"x": np.ones(2)},
+                    keep_last_n=5)
+    names = sorted(p.name for p in tmp_path.glob("ckpt_step*.msgpack"))
+    assert "ckpt_step11.msgpack" in names          # just-written survives
+    assert len(names) == 6                          # stale files untouched
+    # once the run overtakes the stale high-water mark, pruning resumes
+    save_checkpoint(tmp_path / "ckpt_step22.msgpack", 22, {"x": np.ones(2)},
+                    keep_last_n=2)
+    names = sorted(int(p.name[9:-8]) for p in tmp_path.glob("ckpt_step*.msgpack"))
+    assert names == [20, 22]
+
+
+def test_latest_checkpoint_prefers_furthest_stored_step(tmp_path):
+    """Auto-resume must continue from the furthest state: when a completed
+    run is extended, newer ckpt_step files beat the old ckpt_final (the old
+    rule preferred final unconditionally, rolling back every resume)."""
+    save_checkpoint(tmp_path / "ckpt_final.msgpack", 10, {"x": np.ones(2)})
+    assert latest_checkpoint(tmp_path).name == "ckpt_final.msgpack"
+    save_checkpoint(tmp_path / "ckpt_step14.msgpack", 15, {"x": np.ones(2)})
+    assert latest_checkpoint(tmp_path).name == "ckpt_step14.msgpack"
+    # final from a FURTHER run (fresh completion) wins again
+    save_checkpoint(tmp_path / "ckpt_final.msgpack", 20, {"x": np.ones(2)})
+    assert latest_checkpoint(tmp_path).name == "ckpt_final.msgpack"

@@ -276,3 +276,58 @@ def test_tfrecord_serving_sanitizes_record_names(workspace, trained, tmp_path):
         ["abs_escape.jpg", "deep.jpg", "escape.jpg"]
     assert not (tmp_path / "escape.jpg").exists()
     assert not Path("/abs/path/abs_escape.jpg").exists()
+
+
+def test_zero_cadence_disables_periodic_work(workspace, tmp_path):
+    """Cadence 0 is the conventional 'off' sentinel: it must disable
+    periodic checkpoints/log lines (it used to ZeroDivisionError at the
+    first step) while the final checkpoint still writes."""
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    cfg = micro_config(workspace)
+    cfg["max_steps"] = 3
+    cfg["metrics"] = {"save_checkpoint_every": 0}
+    cfg["log"] = {"every_steps": 0, "verbose": False}
+    cfg["output"] = {"checkpoint_dir": str(tmp_path / "ckpts"),
+                     "log_dir": str(tmp_path / "logs")}
+    state, _ = train_cut(cfg)
+    assert int(state.step) == 3
+    names = [p.name for p in (tmp_path / "ckpts").glob("*.msgpack")]
+    assert names == ["ckpt_final.msgpack"]
+
+
+def test_steps_per_call_requires_aligned_cadences(workspace, tmp_path):
+    """With lax.scan windows (runtime.steps_per_call>1) state exists only at
+    window boundaries — misaligned cadences would label checkpoints with a
+    step the state has already passed, so they fail loudly up front."""
+    import pytest as _pytest
+
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    cfg = micro_config(workspace)
+    cfg["runtime"]["steps_per_call"] = 2
+    cfg["log"] = {"every_steps": 3, "verbose": False}  # 3 % 2 != 0
+    cfg["output"] = {"checkpoint_dir": str(tmp_path / "c"),
+                     "log_dir": str(tmp_path / "l")}
+    with _pytest.raises(ValueError, match="steps_per_call"):
+        train_cut(cfg)
+
+
+def test_steps_per_call_window_checkpoint_label_matches_state(workspace,
+                                                              tmp_path):
+    """A checkpoint written from a scan window must contain exactly the
+    state its filename claims (it used to hold state up to K-1 steps
+    further along)."""
+    from gan_variant_research_tpu.train.checkpoint import load_checkpoint
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    cfg = micro_config(workspace)
+    cfg["max_steps"] = 6
+    cfg["runtime"]["steps_per_call"] = 2
+    cfg["metrics"] = {"save_checkpoint_every": 4}
+    cfg["log"] = {"every_steps": 2, "verbose": False}
+    cfg["output"] = {"checkpoint_dir": str(tmp_path / "ckpts"),
+                     "log_dir": str(tmp_path / "logs")}
+    train_cut(cfg)
+    blob = load_checkpoint(tmp_path / "ckpts" / "ckpt_step4.msgpack")
+    assert blob["step"] == 4  # stored step == filename step == state.step

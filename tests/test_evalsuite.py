@@ -498,3 +498,46 @@ class TestPrecisionRecall:
         with pytest.raises(ValueError):
             compute_precision_recall(rng.standard_normal((3, 4)),
                                      rng.standard_normal((10, 4)), k=3)
+
+
+class TestRealStatsCacheKeying:
+    """The real-stats cache must key on the extractor identity, not the
+    dataset alone — stats from random weights / another resolution live in
+    a different feature space and reusing them corrupts every later FID."""
+
+    def test_cache_path_varies_with_extractor_tag(self, tmp_path):
+        from gan_variant_research_tpu.evalsuite.features import cache_path_for
+
+        base = cache_path_for(tmp_path, "abc123")
+        rnd = cache_path_for(tmp_path, "abc123", "random:299")
+        big = cache_path_for(tmp_path, "abc123", "random:512")
+        wts = cache_path_for(tmp_path, "abc123", "weights.npz:1234:299")
+        assert len({base, rnd, big, wts}) == 4
+        # same (dataset, extractor) stays stable across calls
+        assert rnd == cache_path_for(tmp_path, "abc123", "random:299")
+
+    def test_extractor_identity_tag(self, tmp_path):
+        from gan_variant_research_tpu.evalsuite.features import (
+            InceptionFeatureExtractor,
+        )
+
+        a = InceptionFeatureExtractor(allow_random=True, img_size=299)
+        b = InceptionFeatureExtractor(allow_random=True, img_size=75)
+        assert a.identity_tag != b.identity_tag
+
+    def test_corrupt_cache_recovers(self, tmp_path, capsys):
+        import numpy as np
+
+        from gan_variant_research_tpu.evalsuite.features import (
+            load_cached_stats,
+            save_cached_stats,
+        )
+
+        p = tmp_path / "real_stats" / "k.npz"
+        save_cached_stats(p, np.zeros(4), np.eye(4), np.zeros((2, 4)), 2)
+        got = load_cached_stats(p)
+        assert got is not None and got["n"] == 2
+        assert not list(p.parent.glob("*.tmp.npz"))  # atomic write cleaned up
+        p.write_bytes(b"truncated garbage")  # simulated crash mid-write
+        assert load_cached_stats(p) is None  # recompute, don't wedge
+        assert "unreadable stats cache" in capsys.readouterr().out

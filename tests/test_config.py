@@ -116,3 +116,27 @@ def test_override_coerces_bracketed_lists():
     assert cfg["a"]["floats"] == [0.5, 1.5]
     assert cfg["a"]["not_a_list"] == "[unclosed"
     assert cfg["a"]["bracket_string"] == "[a: b]"
+
+
+def test_shipped_eval_configs_are_consumable():
+    """Every shipped eval_*.yaml parses and carries only keys the eval CLI
+    actually consumes (its reference-mirrored setdefault chain accepts
+    anything silently, so drift must be caught here)."""
+    import pathlib
+
+    from gan_variant_research_tpu.evalsuite.cli import load_config as load_eval
+
+    consumed = {
+        "name", "fake_dir", "real_dir", "real_mode", "out_dir", "batch_size",
+        "num_workers", "img_size", "cosine_eps", "use_cache", "cache_dir",
+        "inception_weights", "kid", "pr",
+    }
+    cfg_dir = pathlib.Path(__file__).parent.parent / "gan_variant_research_tpu" / "configs"
+    paths = sorted(cfg_dir.glob("eval_*.yaml"))
+    assert len(paths) >= 2  # eval_local + eval_tfrec
+    for path in paths:
+        cfg = load_eval(path)
+        unknown = set(cfg) - consumed
+        assert not unknown, f"{path.name}: keys the CLI never reads: {unknown}"
+        assert cfg["real_mode"] == "folder"  # the only supported mode
+        assert cfg["img_size"] == 299 and cfg["cosine_eps"] == 0.1

@@ -310,6 +310,7 @@ CYCLEGAN_SCHEMA: dict = {
     # (the schema exists to prevent exactly the silent drift of allowing
     # fewer keys than the code reads)
     "runtime": {"device": str, "platform": str, "precision": str,
-                "donate": bool},
+                "donate": bool,
+                "steps_per_call": int},  # lax.scan window size (1 = plain)
     "parallel": {"data_axis": str, "num_devices": int, "multihost": (bool, str)},
 }

@@ -100,14 +100,40 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None,
                    if is_main and t_cfg.get("async_save", True) else None)
     averager = Averager()
 
+    # >1 → lax.scan windows (one dispatch per K steps; see
+    # CycleGANTrainer.train_window). Windows are clamped so they never
+    # cross an epoch boundary — every per-epoch bookkeeping below runs at a
+    # point where `state` matches the completed-step count exactly.
+    runtime_cfg = config.get("runtime") or {}
+    steps_per_call = int(runtime_cfg.get("steps_per_call", 1))
+    if steps_per_call > 1 and jax.process_count() > 1:
+        # window stacking needs fully-addressable arrays (same limitation
+        # as the CUT loop, train/loop.py) — and the amortization is worth
+        # ~0 on a pod where dispatch runs ahead anyway
+        print("runtime.steps_per_call>1 is single-host only; using 1")
+        steps_per_call = 1
+
     step = start_step
     t0 = time.perf_counter()
     try:
         while step < max_steps:
-            a_u8, b_u8 = next(loader)
-            state, losses = trainer.train_step(state, a_u8, b_u8)
-            averager.add({k: float(v) for k, v in losses.items()})
-            step += 1
+            to_boundary = steps_per_epoch - (step % max(1, steps_per_epoch))
+            k_win = max(1, min(steps_per_call, to_boundary, max_steps - step))
+            if k_win > 1:
+                import jax.numpy as jnp
+
+                window = [next(loader) for _ in range(k_win)]
+                a_w = jnp.stack([b[0] for b in window])
+                b_w = jnp.stack([b[1] for b in window])
+                state, losses_w = trainer.train_window(state, a_w, b_w)
+                host_w = {kk: np.asarray(v) for kk, v in losses_w.items()}
+                for i in range(k_win):
+                    averager.add({kk: float(v[i]) for kk, v in host_w.items()})
+            else:
+                a_u8, b_u8 = next(loader)
+                state, losses = trainer.train_step(state, a_u8, b_u8)
+                averager.add({k: float(v) for k, v in losses.items()})
+            step += k_win
 
             if step % steps_per_epoch == 0 or step == max_steps:
                 epoch = step // max(1, steps_per_epoch)

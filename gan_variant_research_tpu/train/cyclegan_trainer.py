@@ -144,6 +144,22 @@ class CycleGANTrainer:
             in_shardings=(rep, bsh, bsh),
             out_shardings=(rep, rep),
         )
+        # Multi-step window: lax.scan over K steps in one dispatch — the
+        # same dispatch-latency amortization as CUTTrainer._jit_scan, and
+        # MORE valuable here: the reference's Basic_GAN regime is batch 1
+        # (configs/baseline.yaml), where the measured step is dispatch-bound
+        # (52.8 ms/step at batch 1 vs ~30 ms of compute; docs/PERF.md).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        window_sh = NamedSharding(
+            self.mesh.mesh, P(None, self.mesh.data_axis, None, None, None)
+        )
+        self._jit_scan = jax.jit(
+            self._train_scan,
+            donate_argnums=(0,) if donate else (),
+            in_shardings=(rep, window_sh, window_sh),
+            out_shardings=(rep, rep),
+        )
 
     def init_state(self, seed: int | None = None) -> CycleGANTrainState:
         seed = seed if seed is not None else self.config["training"].get("seed", 0)
@@ -296,6 +312,22 @@ class CycleGANTrainer:
         losses = {"G": loss_G, "D_A": loss_D_A, "D_B": loss_D_B,
                   "adv": loss_adv, "cycle": loss_cyc, "idt": loss_id}
         return new_state, losses
+
+    def _train_scan(self, state, a_w, b_w):
+        def body(st, batch):
+            a, b = batch
+            return self._train_step(st, a, b)
+
+        return jax.lax.scan(body, state, (a_w, b_w))
+
+    def train_window(self, state, a_w, b_w):
+        """Run K = a_w.shape[0] consecutive steps in ONE dispatch (a
+        ``lax.scan`` entirely on device) — exactly equivalent to K
+        ``train_step`` calls: unlike CUT's step, this one has no
+        step-indexed Python branches, and the per-epoch LR decay reads the
+        optimizer's own update count, which advances inside the scan.
+        Returns (state, stacked losses with leading dim K)."""
+        return self._jit_scan(state, a_w, b_w)
 
     def checkpoint_payload(self, state: CycleGANTrainState) -> dict:
         """Reference checkpoint dict schema (train.py:126-137)."""

@@ -69,9 +69,9 @@ def test_schemas_cover_every_consumed_runtime_key():
          "parallel": {"data_axis": "data", "num_devices": 2, "multihost": "auto"}},
         CUT_SCHEMA, strict=True) == []
 
-    cyc_runtime = {  # keys read in cyclegan_trainer.py
+    cyc_runtime = {  # keys read in cyclegan_trainer.py / cyclegan_loop.py
         "platform": "cpu", "precision": "bf16", "donate": False,
-        "device": "tpu",
+        "device": "tpu", "steps_per_call": 4,
     }
     assert validate_config(
         {"runtime": cyc_runtime,

@@ -151,3 +151,39 @@ def test_cyclegan_resume_auto_matches_uninterrupted(tmp_path):
             np.testing.assert_allclose(
                 lp[k], lf[k], rtol=1e-5,
                 err_msg=f"{k} diverged at epoch {lf['epoch']}")
+
+
+def test_cyclegan_loop_scan_windows_match_plain(tmp_path):
+    """runtime.steps_per_call>1 must not change the trajectory: windows are
+    clamped to epoch boundaries (3 steps/epoch here, so a requested K=4
+    runs as scans of 3), and every per-epoch average matches the plain
+    run's exactly."""
+    import json
+
+    from gan_variant_research_tpu.train.cyclegan_loop import train_cyclegan
+
+    _folder(tmp_path, "a", 6, 0)
+    _folder(tmp_path, "b", 4, 1)
+
+    def read_log(cfg):
+        p = Path(cfg["training"]["log_dir"]) / "cyclegan_log.jsonl"
+        return [json.loads(l) for l in p.read_text().strip().splitlines()]
+
+    plain = _micro_cfg(tmp_path, "plain")
+    state_plain, _ = train_cyclegan(plain)        # 6 steps = 2 epochs of 3
+    assert int(state_plain.step) == 6
+
+    windowed = _micro_cfg(tmp_path, "windowed")
+    windowed["runtime"]["steps_per_call"] = 4     # > steps_per_epoch
+    state_win, _ = train_cyclegan(windowed)
+    assert int(state_win.step) == 6
+
+    log_plain, log_win = read_log(plain), read_log(windowed)
+    assert [l["epoch"] for l in log_win] == [1, 2]
+    for lp, lw in zip(log_plain, log_win):
+        for k in lp:
+            if k in ("epoch", "step", "images_per_sec"):
+                continue
+            np.testing.assert_allclose(
+                lw[k], lp[k], rtol=1e-4, atol=1e-6,
+                err_msg=f"{k} diverged at epoch {lp['epoch']}")

@@ -181,3 +181,32 @@ def test_batched_g_matches_sequential(base_trainer, rng):
     # and the full jitted step reports the same total G loss
     _, losses = t.train_step(s, a_u8, b_u8)
     assert float(losses["G"]) == pytest.approx(float(loss_seq), rel=1e-5)
+
+
+def test_window_matches_single_steps(base_trainer, rng):
+    """train_window (one lax.scan dispatch over K steps) must reproduce the
+    single-step trajectory exactly — same losses per step, same final
+    params (cross-compilation reassociation tolerance only)."""
+    t = base_trainer
+    s1 = t.init_state()
+    s2 = t.init_state()
+
+    k = 5
+    a_w = np.stack([batches(rng)[0] for _ in range(k)])
+    rng2 = np.random.default_rng(7)
+    b_w = np.stack([batches(rng2)[1] for _ in range(k)])
+
+    singles = []
+    for i in range(k):
+        s1, l = t.train_step(s1, a_w[i], b_w[i])
+        singles.append({kk: float(vv) for kk, vv in l.items()})
+
+    s2, stacked = t.train_window(s2, a_w, b_w)
+    assert int(s2.step) == k
+    for i in range(k):
+        for kk in singles[i]:
+            got = float(np.asarray(stacked[kk])[i])
+            assert got == pytest.approx(singles[i][kk], rel=1e-4, abs=1e-5), (i, kk)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

@@ -85,10 +85,15 @@ def run(steps: int, size: int, work: Path):
         f"metrics.eval_every={max(1, steps // 4)}",
         "metrics.save_checkpoint_every=100000",
         "eval.num_samples=4",
-        # armed but out of reach: proves the tracker runs without stopping
+        # armed but out of reach: proves the tracker runs without stopping.
+        # The alarm is an ABSOLUTE floor (d_min < threshold fires;
+        # inline_metrics.py) and cosine distances are >= 0, so a 0.0 floor
+        # is armed-but-unreachable. (The pre-910f422 drop-below-max
+        # semantics made 10.0 the unreachable value; with floor semantics
+        # 10.0 fires at the first eval.)
         "early_stop.enable=true",
         "early_stop.patience=1000000",
-        "early_stop.dmin_drop_threshold=10.0",
+        "early_stop.dmin_drop_threshold=0.0",
         f"log.every_steps={max(1, steps // 40)}",
         "log.verbose=false",
     ])
@@ -115,6 +120,20 @@ def analyze(config, g_modules: set):
         json.loads(l) for l in
         (log_dir / "metrics_log.jsonl").read_text().strip().splitlines()
     ]
+
+    # which attention core served the run: the routing decision is static
+    # per shape/backend (models/attention.py::flash_eligible), so recompute
+    # it from the run config — at 256² (trunk HW=4096, c=4·ngf) on TPU the
+    # Pallas flash kernel is eligible and this smoke doubles as the proof
+    # that a real multi-step training run trains THROUGH the kernel
+    from gan_variant_research_tpu.models.attention import flash_eligible
+
+    g = config["model"]["generator"]
+    hw = (config["image_size"] // 4) ** 2
+    c = int(g["ngf"]) * 4
+    attn_core = ("pallas_flash" if flash_eligible(
+        hw, max(c // 8, 1), c, g.get("attn_flash", "auto"),
+        batch=config["batch_size"]) else "einsum")
 
     checks = {
         "all_finite": bool(all(np.isfinite(by[k]).all() for k in keys)),
@@ -147,6 +166,7 @@ def analyze(config, g_modules: set):
         "fid_trajectory": [round(m["fid"], 2) for m in metrics_lines],
         "d_min_trajectory": [round(m["d_min"], 4) for m in metrics_lines],
         "generator_modules": sorted(g_modules),
+        "attn_core": attn_core,
         "checks": checks,
     }
     return summary, by
@@ -157,6 +177,10 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--workdir", type=str, default="/tmp/variant_smoke")
+    ap.add_argument("--tag", type=str, default="",
+                    help="artifact-name suffix (e.g. 'tpu_flash') so a run "
+                         "on other hardware/shapes doesn't overwrite the "
+                         "committed record")
     ap.add_argument("--analyze-only", action="store_true",
                     help="re-analyze an existing run from its final "
                          "checkpoint instead of retraining")
@@ -193,12 +217,13 @@ def main():
     fig.suptitle(f"Variant smoke — ALL restored opt-ins on, "
                  f"{args.size}² × {summary['steps']} steps")
     fig.tight_layout()
-    png = REPO / "docs" / "variant_smoke.png"
+    suffix = f"_{args.tag}" if args.tag else ""
+    png = REPO / "docs" / f"variant_smoke{suffix}.png"
     fig.savefig(png, dpi=110)
 
     passed = all(v if isinstance(v, bool) else True
                  for v in summary["checks"].values())
-    md = REPO / "docs" / "variant_smoke.md"
+    md = REPO / "docs" / f"variant_smoke{suffix}.md"
     md.write_text(
         "# Variant smoke (every restored deleted feature on at once)\n\n"
         "Reduced CUT run (ngf 32, 4 blocks, batch 4) on the synthetic "

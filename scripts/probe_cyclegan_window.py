@@ -55,11 +55,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=48)
     ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--batches", type=str, default="1,4",
+                    help="comma-separated batch sizes to sweep (the "
+                         "reference regime is 1; larger values record the "
+                         "throughput-mode rate)")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()}")
 
-    for batch in (1, 4):
+    for batch in (int(b) for b in args.batches.split(",")):
         trainer = CycleGANTrainer(config(batch), steps_per_epoch=10_000)
         state = trainer.init_state()
         a = jax.device_put(rng.integers(

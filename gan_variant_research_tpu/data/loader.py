@@ -99,6 +99,15 @@ class _EpochStream:
                  pool: ThreadPoolExecutor):
         # source: anything with __len__ and get(idx) -> HWC uint8
         # (ImageFolderSource or tfrecord.TFRecordImageSource)
+        if len(source) < batch_size:
+            # drop_last semantics have no full batch to yield; without this
+            # the epoch slice would silently come up short and the fixed-shape
+            # jit step would fail far from the cause
+            raise ValueError(
+                f"Dataset has {len(source)} images < batch_size {batch_size}; "
+                "drop_last leaves no complete batch (shrink the batch or add "
+                "data)"
+            )
         self.source = source
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)

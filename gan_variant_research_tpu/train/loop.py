@@ -307,13 +307,13 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             imgs_in_window += config["batch_size"] * k
             while len(pending) > 1:
                 drain(pending.pop(0))
-            if k > 1:
-                # state exists only at the window boundary; label bookkeeping
-                # with the completed-step count, which equals state.step
-                # there (cadences are validated as multiples of K above)
-                per_step_bookkeeping(step + k)
-            else:
-                per_step_bookkeeping(step)
+            # bookkeeping labels carry the COMPLETED-step count, which equals
+            # state.step here — in both modes, so a checkpoint named
+            # ckpt_step{s} stores exactly step s (the single-step path used to
+            # label with the pre-increment loop index, storing s+1 under a
+            # filename claiming s, and checkpointed one step later than the
+            # window path for the same cadence)
+            per_step_bookkeeping(step + k)
             step += k
             if profiling and step >= profile_span[1]:
                 jax.profiler.stop_trace()

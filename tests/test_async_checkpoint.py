@@ -199,18 +199,22 @@ def test_loop_async_checkpoints_match_sync(tmp_path):
         root = tmp_path / mode
         train_cut(_tiny_cut_config(root, data, async_save))
         steps = sorted(p.name for p in (root / "ckpt").glob("ckpt_step*"))
-        assert steps == ["ckpt_step2.msgpack"], steps
+        # completed-step labeling: cadence 2 over 4 steps fires at 2 AND 4
+        assert steps == ["ckpt_step2.msgpack", "ckpt_step4.msgpack"], steps
         outs[mode] = root / "ckpt"
         assert (root / "ckpt" / "ckpt_final.msgpack").exists()
 
-    a = load_checkpoint(outs["async"] / "ckpt_step2.msgpack")
-    s = load_checkpoint(outs["sync"] / "ckpt_step2.msgpack")
-    assert a["step"] == s["step"]
-    af = np.concatenate([np.ravel(x) for x in
-                         __import__("jax").tree_util.tree_leaves(a["payload"])])
-    sf = np.concatenate([np.ravel(x) for x in
-                         __import__("jax").tree_util.tree_leaves(s["payload"])])
-    np.testing.assert_array_equal(af, sf)
+    for name in ("ckpt_step2.msgpack", "ckpt_step4.msgpack"):
+        a = load_checkpoint(outs["async"] / name)
+        s = load_checkpoint(outs["sync"] / name)
+        assert a["step"] == s["step"]
+        af = np.concatenate([
+            np.ravel(x) for x in
+            __import__("jax").tree_util.tree_leaves(a["payload"])])
+        sf = np.concatenate([
+            np.ravel(x) for x in
+            __import__("jax").tree_util.tree_leaves(s["payload"])])
+        np.testing.assert_array_equal(af, sf)
 
 
 def test_snapshot_survives_buffer_deletion(tmp_path, monkeypatch):

@@ -331,3 +331,22 @@ def test_steps_per_call_window_checkpoint_label_matches_state(workspace,
     train_cut(cfg)
     blob = load_checkpoint(tmp_path / "ckpts" / "ckpt_step4.msgpack")
     assert blob["step"] == 4  # stored step == filename step == state.step
+
+
+def test_single_step_checkpoint_label_matches_state(workspace, tmp_path):
+    """The single-step path must use the same completed-step labeling as the
+    window path: ckpt_step{s} stores exactly step s (it used to store s+1
+    under a filename claiming s, and fire one step later than a window run
+    with the same cadence)."""
+    from gan_variant_research_tpu.train.checkpoint import load_checkpoint
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    cfg = micro_config(workspace)
+    cfg["max_steps"] = 6
+    cfg["metrics"] = {"save_checkpoint_every": 4}
+    cfg["log"] = {"every_steps": 2, "verbose": False}
+    cfg["output"] = {"checkpoint_dir": str(tmp_path / "ckpts"),
+                     "log_dir": str(tmp_path / "logs")}
+    train_cut(cfg)
+    blob = load_checkpoint(tmp_path / "ckpts" / "ckpt_step4.msgpack")
+    assert blob["step"] == 4  # stored step == filename step == state.step

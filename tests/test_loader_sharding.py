@@ -79,3 +79,11 @@ def test_bad_bounds_rejected(folders):
     with pytest.raises(ValueError, match="process_bounds"):
         UnpairedLoader(folders / "a", folders / "b", batch_size=4, size=16,
                        process_bounds=(2, 10))
+
+
+def test_batch_larger_than_dataset_fails_loudly(folders):
+    """10-image domains can't fill a 12-batch under drop_last; without the
+    guard the epoch slice silently comes up short and the fixed-shape jit
+    step fails far from the cause."""
+    with pytest.raises(ValueError, match="batch_size"):
+        UnpairedLoader(folders / "a", folders / "b", batch_size=12, size=16)

@@ -285,7 +285,13 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             if profile_dir and not profiling and step >= profile_span[0]:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            k = min(steps_per_call, max_steps - step)
+            # clamp to the K grid as well as the horizon: a resume from an
+            # off-grid step (ckpt_final at an arbitrary max_steps, then
+            # extended) would otherwise shift every window label off the
+            # cadence grid and silently skip all remaining checkpoints/logs;
+            # one short first window realigns it
+            k = min(steps_per_call, max_steps - step,
+                    steps_per_call - step % steps_per_call)
             if k > 1:
                 import jax.numpy as jnp
 

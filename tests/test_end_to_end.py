@@ -333,6 +333,31 @@ def test_steps_per_call_window_checkpoint_label_matches_state(workspace,
     assert blob["step"] == 4  # stored step == filename step == state.step
 
 
+def test_window_grid_realigns_after_offgrid_resume(workspace, tmp_path):
+    """Resuming scan windows from an off-grid step (a ckpt_final written at
+    an arbitrary max_steps, then extended) must realign the window grid with
+    one short first window — otherwise every label lands off the cadence
+    grid and the rest of the run silently writes no checkpoints or logs."""
+    from gan_variant_research_tpu.train.checkpoint import load_checkpoint
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    cfg = micro_config(workspace)
+    cfg["max_steps"] = 3  # off the K=2 grid → ckpt_final at step 3
+    cfg["runtime"]["steps_per_call"] = 2
+    cfg["metrics"] = {"save_checkpoint_every": 2}
+    cfg["checkpoint"] = {"keep_last_n": 10}
+    cfg["log"] = {"every_steps": 2, "verbose": False}
+    cfg["output"] = {"checkpoint_dir": str(tmp_path / "ckpts"),
+                     "log_dir": str(tmp_path / "logs")}
+    train_cut(cfg)
+
+    cfg2 = dict(cfg, max_steps=8)
+    train_cut(cfg2, resume="auto")  # resumes from ckpt_final @ step 3
+    for s in (4, 6, 8):  # realigned grid keeps firing the cadence
+        blob = load_checkpoint(tmp_path / "ckpts" / f"ckpt_step{s}.msgpack")
+        assert blob["step"] == s
+
+
 def test_single_step_checkpoint_label_matches_state(workspace, tmp_path):
     """The single-step path must use the same completed-step labeling as the
     window path: ckpt_step{s} stores exactly step s (it used to store s+1

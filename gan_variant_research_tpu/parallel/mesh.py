@@ -85,9 +85,9 @@ def process_batch_bounds(ctx: MeshContext, global_batch: int) -> tuple[int, int]
 
     Derived from the sharding itself (``devices_indices_map``), not from an
     assumed device ordering, so it stays correct for any process→device
-    layout. The loaders decode exactly this slice and hand it to
-    ``jax.make_array_from_process_local_data``; single-process this is the
-    full batch, so one code path serves both. The per-process rows must be
+    layout. The loaders decode exactly this slice and assemble the global
+    array from per-device local transfers (``UnpairedLoader._stage``);
+    single-process this is the full batch, so one code path serves both. The per-process rows must be
     contiguous (true for a 1-D data mesh built over ``jax.devices()``, whose
     order groups devices by process).
     """

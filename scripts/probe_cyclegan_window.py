@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from gan_variant_research_tpu.train.cyclegan_trainer import CycleGANTrainer
 
 
-def config(batch: int) -> dict:
+def config(batch: int, generator: str = "resnet") -> dict:
     return {
         "data": {"root": "unused", "domain_a": "a", "domain_b": "b",
                  "img_size": 256, "load_size": 286},
@@ -45,7 +45,7 @@ def config(batch: int) -> dict:
         "loss": {"gan": "lsgan", "lambda_cycle": 10.0,
                  "lambda_identity": 0.5},
         "model": {"ngf": 64, "ndf": 64, "n_blocks": 9, "n_layers": 3,
-                  "spectral_norm_d": False, "generator": "resnet"},
+                  "spectral_norm_d": False, "generator": generator},
         "runtime": {"precision": "bf16"},
         "parallel": {"num_devices": 1},
     }
@@ -59,12 +59,17 @@ def main():
                     help="comma-separated batch sizes to sweep (the "
                          "reference regime is 1; larger values record the "
                          "throughput-mode rate)")
+    ap.add_argument("--generator", type=str, default="resnet",
+                    choices=("resnet", "unet"),
+                    help="generator family (unet = the notebook-lineage "
+                         "U-Net, GAN_baseline_Sujit.ipynb cell 4)")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()}")
 
     for batch in (int(b) for b in args.batches.split(",")):
-        trainer = CycleGANTrainer(config(batch), steps_per_epoch=10_000)
+        trainer = CycleGANTrainer(config(batch, args.generator),
+                                  steps_per_epoch=10_000)
         state = trainer.init_state()
         a = jax.device_put(rng.integers(
             0, 256, (batch, 286, 286, 3), dtype=np.uint8))
@@ -98,6 +103,7 @@ def main():
                   / (max(1, args.iters // k) * k) * 1e3)
 
         print(json.dumps({
+            "generator": args.generator,
             "batch": batch, "window": k,
             "plain_ms_per_step": round(plain_ms, 1),
             "window_ms_per_step": round(win_ms, 1),

@@ -118,6 +118,26 @@ def test_override_coerces_bracketed_lists():
     assert cfg["a"]["bracket_string"] == "[a: b]"
 
 
+def test_shipped_cyclegan_configs_validate_strictly():
+    """Every shipped CycleGAN YAML (the batch-1 parity baseline and the
+    batch-16 TPU throughput preset) must pass CYCLEGAN_SCHEMA with
+    strict=True — a preset that trips the unknown-key path would warn (or
+    error under --strict-config) on every run."""
+    import pathlib
+
+    from gan_variant_research_tpu.core.config import CYCLEGAN_SCHEMA
+
+    cfg_dir = (pathlib.Path(__file__).parent.parent
+               / "gan_variant_research_tpu" / "configs")
+    paths = sorted(cfg_dir.glob("baseline*.yaml"))
+    assert len(paths) >= 2  # baseline + baseline_tpu
+    for path in paths:
+        cfg = load_config(path)
+        assert validate_config(cfg, CYCLEGAN_SCHEMA, strict=True) == [], path.name
+    tpu = load_config(cfg_dir / "baseline_tpu.yaml")
+    assert tpu["training"]["batch_size"] == 16  # the measured v5e knee
+
+
 def test_shipped_eval_configs_are_consumable():
     """Every shipped eval_*.yaml parses and carries only keys the eval CLI
     actually consumes (its reference-mirrored setdefault chain accepts

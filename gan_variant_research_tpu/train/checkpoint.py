@@ -194,8 +194,9 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     the dir holds ``ckpt_final`` from the OLD completion alongside newer
     ``ckpt_step*`` files — preferring final unconditionally would roll every
     resume back to the old end state and the run could never make net
-    progress. The stored step (not the filename) is compared, since the two
-    naming schemes are offset differently from the internal counter."""
+    progress. The stored step (not the filename) is compared: ckpt_final has
+    no step in its name, and the stored value is the authoritative counter
+    either way (periodic files store exactly their filename step)."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.is_dir():
         return None

@@ -66,7 +66,12 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
         vals, _ = _eigh(inner)
     tr_sqrt = np.sqrt(np.clip(vals, 0.0, None)).sum()
     fid = float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_sqrt)
-    return fid
+    # The Fréchet distance is mathematically ≥ 0; identical (or near-
+    # identical) statistics cancel to float noise of either sign, and a
+    # noise-negative FID flips MiFID's verdict on an exact-memorization set
+    # from maximally-penalized to absurdly good once divided by the tiny
+    # penalty (observed: fid −2e-7 → MiFID −1.8e8 on self-comparison).
+    return max(fid, 0.0)
 
 
 def memorization_penalty(
@@ -89,7 +94,10 @@ def memorization_penalty(
     for i in range(0, len(fake), batch_size):
         sims = np.abs(fake[i : i + batch_size] @ real.T)
         mins[i : i + batch_size] = (1.0 - sims).min(axis=1)
-    d = float(mins.mean())
+    # a cosine distance is mathematically ≥ 0: |sims| can exceed 1 by float
+    # noise on duplicated rows, and a noise-negative mean would make the
+    # m + 1e-15 divisor negative, flipping MiFID's sign
+    d = max(float(mins.mean()), 0.0)
     return d if d < cosine_eps else 1.0
 
 

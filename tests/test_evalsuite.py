@@ -75,6 +75,21 @@ class TestMiFID:
         anti = -real  # cosine −1 → abs-distance 0 (torchmetrics semantics)
         assert memorization_penalty(anti, real) < 1e-6
 
+    def test_self_comparison_never_goes_negative(self, rng):
+        """FID and the memorization distance are mathematically ≥ 0, but on
+        IDENTICAL feature sets both cancel to float noise of either sign —
+        and a noise-negative FID divided by the tiny penalty flipped MiFID
+        from maximally-penalized to absurdly good (observed −1.8e8 on a
+        self-comparison eval run). Pin the clamps."""
+        feats = rng.standard_normal((64, 32)).astype(np.float32)
+        r = mifid_from_features(feats, feats.copy())
+        assert 0.0 <= r["fid"] < 1e-6  # noise floors at zero, never below
+        assert r["memorization_distance"] >= 0.0
+        assert r["mifid"] >= 0.0
+        # float32 noise can push |cos| past 1 on duplicated rows; the
+        # penalty itself must clamp, not just happen to land positive
+        assert memorization_penalty(feats, feats.copy()) >= 0.0
+
 
 class TestInception:
     @pytest.fixture(scope="class")

@@ -22,6 +22,14 @@ def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(N, D) features → (μ, Σ) in float64 (unbiased covariance, like
     torch.cov / np.cov used by torchmetrics)."""
     feats = np.asarray(features, dtype=np.float64)
+    if feats.ndim != 2 or feats.shape[0] < 2:
+        # np.cov of one row degenerates to a 0-d scalar and the Fréchet
+        # matmuls then fail with an opaque gufunc error; torchmetrics'
+        # FID imposes the same ≥2-sample minimum with a clear message
+        raise ValueError(
+            f"FID statistics need at least 2 feature rows, got shape "
+            f"{feats.shape} — provide at least 2 images per set"
+        )
     mu = feats.mean(axis=0)
     sigma = np.cov(feats, rowvar=False)
     return mu, sigma
@@ -53,6 +61,14 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     sigma1 = np.asarray(sigma1, np.float64)
     sigma2 = np.asarray(sigma2, np.float64)
 
+    for name, s in (("sigma1", sigma1), ("sigma2", sigma2)):
+        if s.ndim != 2 or s.shape[0] != s.shape[1]:
+            # also catches a degenerate 0-d covariance loaded from a stats
+            # cache written before the ≥2-sample guard existed
+            raise ValueError(
+                f"{name} must be a square covariance matrix, got shape "
+                f"{s.shape} — were the statistics computed from <2 images?"
+            )
     diff = mu1 - mu2
     sqrt_s1 = _sqrtm_psd(sigma1)
     inner = sqrt_s1 @ sigma2 @ sqrt_s1

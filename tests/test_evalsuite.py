@@ -75,6 +75,17 @@ class TestMiFID:
         anti = -real  # cosine −1 → abs-distance 0 (torchmetrics semantics)
         assert memorization_penalty(anti, real) < 1e-6
 
+    def test_single_sample_fails_loudly(self, rng):
+        """np.cov of one row is a 0-d scalar; without the guard the Fréchet
+        matmuls die with an opaque gufunc error (observed driving the eval
+        CLI with one real image). torchmetrics imposes the same minimum."""
+        one = rng.standard_normal((1, 32))
+        many = rng.standard_normal((8, 32))
+        with pytest.raises(ValueError, match="at least 2"):
+            mifid_from_features(one, many)
+        with pytest.raises(ValueError, match="at least 2"):
+            mifid_from_features(many, one)
+
     def test_self_comparison_never_goes_negative(self, rng):
         """FID and the memorization distance are mathematically ≥ 0, but on
         IDENTICAL feature sets both cancel to float noise of either sign —

@@ -278,9 +278,26 @@ def stylize_folder(
 
     threading.Thread(target=producer, daemon=True).start()
 
+    # Distinct inputs must never silently overwrite one output: TFRecord
+    # names flatten to basenames (records "a/x.jpg" and "b/x.jpg" collide)
+    # and the .jpg re-suffix collapses "x.png"/"x.jpg" — either would ship a
+    # short submission with no warning. Collisions get a deterministic-ish
+    # "__dupN" stem tag and a loud warning instead.
+    _assigned: set = set()
+    _assign_lock = threading.Lock()
+
     def save_img(p, img):
         rel = rel_of(p)
         dst = (out_dir / rel).with_suffix(".jpg")
+        with _assign_lock:
+            if dst in _assigned:
+                base, k = dst, 1
+                while dst in _assigned:
+                    dst = base.with_name(f"{base.stem}__dup{k}.jpg")
+                    k += 1
+                print(f"Warning: output name collision for {rel}; "
+                      f"writing {dst.name}")
+            _assigned.add(dst)
         dst.parent.mkdir(parents=True, exist_ok=True)
         # native libjpeg encode (GIL-free, same quality/4:4:4/optimize
         # contract as the reference's PIL call and decode-identical to it);

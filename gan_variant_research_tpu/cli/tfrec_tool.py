@@ -64,6 +64,7 @@ def unpack(tfrec: str | Path, out: str | Path, image_key: str | None = None,
     out = Path(out)
     out.mkdir(parents=True, exist_ok=True)
     written: list[Path] = []
+    seen: set[Path] = set()
     n = 0
     for shard in files:
         for rec in tfr.iter_records(shard):
@@ -78,6 +79,13 @@ def unpack(tfrec: str | Path, out: str | Path, image_key: str | None = None,
             if not Path(name).suffix:
                 name += ".jpg"
             dst = out / name
+            if dst in seen:
+                # duplicate image_name across shards (or names that collapse
+                # to one basename) — overwriting would silently drop records
+                dst = out / f"{dst.stem}__r{n}{dst.suffix}"
+                print(f"Warning: name collision for {name}; "
+                      f"writing {dst.name}")
+            seen.add(dst)
             dst.write_bytes(data)
             written.append(dst)
             n += 1

@@ -294,3 +294,9 @@ class UnpairedLoader:
             pass
         self._thread.join(timeout=2.0)
         self.pool.shutdown(wait=False, cancel_futures=True)
+        # release per-thread shard handles (TFRecordImageSource.close) —
+        # folder sources have no retained fds and no close()
+        for src in (self.photos.source, self.monets.source):
+            closer = getattr(src, "close", None)
+            if closer is not None:
+                closer()

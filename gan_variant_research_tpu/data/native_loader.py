@@ -172,9 +172,37 @@ def encode_jpeg(
     return out[:rc].tobytes()
 
 
-def crc32c(data: bytes, crc: int = 0) -> int | None:
-    """Castagnoli CRC32 (TFRecord checksums); None when native is absent."""
+_CRC32C_TABLE: list[int] | None = None
+
+
+def _crc32c_python(data: bytes, crc: int) -> int:
+    """Table-driven Castagnoli CRC32 fallback (reflected poly 0x82F63B78).
+
+    ~10 MB/s — slow, but a TFRecord shard written with zero/absent CRCs is
+    poisoned: this repo's own reader (and every standard TFRecord reader)
+    rejects it as corrupt on the next host where verification IS available.
+    Correct-but-slow beats fast-but-unreadable when the native codec failed
+    to build."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    c = ~crc & 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return ~c & 0xFFFFFFFF
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """Castagnoli CRC32 (TFRecord checksums). Uses the native codec when
+    available, else a pure-Python table fallback — never unavailable, so
+    written shards always carry real checksums and reads always verify."""
     lib = _load()
     if lib is None:
-        return None
+        return _crc32c_python(data, crc & 0xFFFFFFFF)
     return int(lib.gvr_crc32c(data, len(data), crc & 0xFFFFFFFF))

@@ -11,8 +11,10 @@ implemented from scratch with no TensorFlow dependency:
 
 - TFRecord framing: ``uint64le length | masked-crc32c(length) | data |
   masked-crc32c(data)``. CRCs are verified through the native codec's
-  CRC32C (data/native/codec.cpp); when the native library is unavailable
-  the frames are still parsed by length and verification is skipped.
+  CRC32C (data/native/codec.cpp), with a pure-Python table fallback when
+  the native library is unavailable — reads always verify and writes
+  always emit real checksums (a shard written with zero CRCs would be
+  rejected as corrupt by every standard TFRecord reader).
 - A minimal ``tf.train.Example`` protobuf walk (varint keys, the four wire
   types) extracting bytes/float/int64 features — enough for the dataset's
   ``{image_name, image, target}`` schema and any Example whose image lives
@@ -38,10 +40,11 @@ from gan_variant_research_tpu.data.native_loader import crc32c, decode_jpeg
 _CRC_MASK_DELTA = 0xA282EAD8
 
 
-def _masked_crc(data: bytes) -> int | None:
+def _masked_crc(data: bytes) -> int:
+    # crc32c never fails: native codec when built, pure-Python table
+    # fallback otherwise (native_loader.crc32c) — so writes always emit real
+    # checksums and reads always verify
     crc = crc32c(data)
-    if crc is None:
-        return None
     return ((crc >> 15 | crc << 17) + _CRC_MASK_DELTA) & 0xFFFFFFFF
 
 
@@ -63,7 +66,7 @@ def index_tfrecord(path: str | Path) -> list[tuple[int, int]]:
             (length,) = struct.unpack("<Q", header[:8])
             (len_crc,) = struct.unpack("<I", header[8:12])
             expect = _masked_crc(header[:8])
-            if expect is not None and expect != len_crc:
+            if expect != len_crc:
                 raise ValueError(f"{path}: corrupt length CRC at {pos}")
             index.append((pos + 12, length))
             pos += 12 + length + 4
@@ -81,7 +84,7 @@ def read_record(f, offset: int, length: int, verify: bool = True) -> bytes:
     if verify:
         (data_crc,) = struct.unpack("<I", blob[length:])
         expect = _masked_crc(data)
-        if expect is not None and expect != data_crc:
+        if expect != data_crc:
             raise ValueError(f"corrupt record data CRC at {offset}")
     return data
 
@@ -250,9 +253,26 @@ class TFRecordImageSource:
         if not self._entries:
             raise ValueError(f"No records in {folder}")
         self._tls = threading.local()
+        # every handle any pool thread opens, for close(): thread-local
+        # storage alone leaks one fd per (thread, shard) for the life of the
+        # thread — num_workers × shards handles per source, enough to hit
+        # EMFILE on default rlimits when sources are built repeatedly
+        self._open_handles: list = []
+        self._handles_lock = threading.Lock()
 
     def __len__(self):
         return len(self._entries)
+
+    def close(self) -> None:
+        """Close every shard handle opened by any thread. The source must
+        not be read after close() (reads raise on the closed handles)."""
+        with self._handles_lock:
+            for fh in self._open_handles:
+                try:
+                    fh.close()
+                except OSError:
+                    pass
+            self._open_handles.clear()
 
     def entries(self) -> list[tuple[Path, int, int]]:
         """The record index: (shard path, data offset, payload length) per
@@ -267,6 +287,8 @@ class TFRecordImageSource:
         fh = handles.get(path)
         if fh is None:
             fh = handles[path] = open(path, "rb")
+            with self._handles_lock:
+                self._open_handles.append(fh)
         return fh
 
     def _record(self, idx: int) -> bytes:
@@ -364,12 +386,13 @@ def make_example(features: dict[str, bytes | str | float | int]) -> bytes:
 
 
 def write_tfrecord(path: str | Path, records: list[bytes]) -> None:
-    """Write framed records (with proper masked CRCs when native CRC32C is
-    available; zero CRCs otherwise — readers that verify need the codec)."""
+    """Write framed records with proper masked CRCs (always — the CRC has a
+    pure-Python fallback, so a host without the native codec still writes
+    shards any standard TFRecord reader accepts)."""
     with open(path, "wb") as f:
         for data in records:
             header = struct.pack("<Q", len(data))
             f.write(header)
-            f.write(struct.pack("<I", _masked_crc(header) or 0))
+            f.write(struct.pack("<I", _masked_crc(header)))
             f.write(data)
-            f.write(struct.pack("<I", _masked_crc(data) or 0))
+            f.write(struct.pack("<I", _masked_crc(data)))

@@ -9,6 +9,7 @@ single-device behavior matches the reference.
 
 from gan_variant_research_tpu.parallel.mesh import (
     MeshContext,
+    assert_agreement_across_processes,
     create_mesh,
     init_distributed,
     process_batch_bounds,
@@ -22,6 +23,7 @@ from gan_variant_research_tpu.parallel.mesh import (
 
 __all__ = [
     "MeshContext",
+    "assert_agreement_across_processes",
     "create_mesh",
     "init_distributed",
     "process_batch_bounds",

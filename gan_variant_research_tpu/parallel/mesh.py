@@ -111,6 +111,34 @@ def process_batch_bounds(ctx: MeshContext, global_batch: int) -> tuple[int, int]
     return lo, hi
 
 
+def assert_agreement_across_processes(value: int, what: str) -> None:
+    """Raise everywhere if an integer decision differs across processes.
+
+    Multi-host resume is the motivating case: each process resolves the
+    resume checkpoint from ITS filesystem, and a pod without a shared
+    checkpoint directory can have host 0 find ``ckpt_step1000`` while host 1
+    finds nothing. Divergent ``start_step`` values are not merely wrong data
+    — the hosts fast-forward their loaders differently, pick different
+    static step variants (R1/identity cadence branches), and exit the train
+    loop at different times, leaving the stragglers hung in a collective.
+    One cheap allgather at startup turns that silent hang into an
+    actionable error. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(
+        multihost_utils.process_allgather(np.int64(value))).reshape(-1)
+    if not (vals == vals[0]).all():
+        raise RuntimeError(
+            f"{what} disagrees across processes: "
+            f"{ {i: int(v) for i, v in enumerate(vals)} }. Every host must "
+            "resolve the same resume point — use a shared (or identically "
+            "synced) checkpoint directory on all hosts."
+        )
+
+
 def validate_donation(donate: bool) -> bool:
     """Gate ``runtime.donate`` on backends where it is measured-broken.
 

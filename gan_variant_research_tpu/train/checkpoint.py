@@ -181,9 +181,45 @@ def load_checkpoint(path: str | Path, target_payload=None) -> dict[str, Any]:
 
 
 def _stored_step(path: Path) -> int:
-    """The authoritative step recorded INSIDE a checkpoint file."""
+    """The authoritative step recorded INSIDE a checkpoint file.
+
+    flax's msgpack serializer writes map keys sorted, so ``step`` is the
+    LAST top-level entry and its uint value ends the file — decodable from
+    the final 16 bytes. A flagship checkpoint is hundreds of MB, and fully
+    deserializing it (once per candidate here, then again in
+    ``load_checkpoint``) just to read one integer tripled resume startup
+    I/O. Falls back to a full parse for any other layout."""
     with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        f.seek(max(0, size - 16))
+        step = _peek_tail_step(f.read())
+        if step is not None:
+            return step
+        f.seek(0)
         return int(flax.serialization.msgpack_restore(f.read())["step"])
+
+
+def _peek_tail_step(tail: bytes) -> int | None:
+    """Decode a trailing ``"step": <uint>`` msgpack entry from a file's last
+    bytes; None unless a fixstr "step" key + uint value ends EXACTLY at EOF
+    (the exact-end constraint is what makes a payload-byte coincidence
+    effectively impossible)."""
+    key = b"\xa4step"  # fixstr(4) "step"
+    i = tail.rfind(key)
+    if i < 0:
+        return None
+    v = tail[i + len(key):]
+    if not v:
+        return None
+    b = v[0]
+    if b <= 0x7F:  # positive fixint
+        return b if len(v) == 1 else None
+    widths = {0xCC: 1, 0xCD: 2, 0xCE: 4, 0xCF: 8}  # uint8/16/32/64
+    n = widths.get(b)
+    if n is None or len(v) != 1 + n:
+        return None
+    return int.from_bytes(v[1:], "big")
 
 
 def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:

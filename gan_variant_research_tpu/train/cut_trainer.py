@@ -194,9 +194,14 @@ class CUTTrainer:
             bank = ensure_feature_bank(
                 clip_cfg, monet_source_path(config.get("data"))
             )
-            margin = float(rep_cfg.get(
-                "margin", load_margin(clip_cfg.get("margin_path"))
-            ))
+            # lazy: an explicitly configured margin must not require (or
+            # even read) a margin file — dict.get() would evaluate the
+            # fallback eagerly and fail on a missing/malformed file whose
+            # value would be discarded
+            margin = float(
+                rep_cfg["margin"] if "margin" in rep_cfg
+                else load_margin(clip_cfg.get("margin_path"))
+            )
             # Place via a jitted identity, not jax.device_put: device_put
             # rejects shardings spanning non-addressable devices, so the
             # direct put breaks on multi-host pods (same contract as

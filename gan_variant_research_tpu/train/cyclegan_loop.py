@@ -59,6 +59,13 @@ def train_cyclegan(config: dict, max_steps_override: int | None = None,
             resume_blob = load_checkpoint(path)
             start_step = resume_blob["step"]
             print(f"Resuming from step {start_step} ({path})")
+    # all hosts must agree on the resume point (same contract as the CUT
+    # loop — see parallel/mesh.py::assert_agreement_across_processes)
+    from gan_variant_research_tpu.parallel.mesh import (
+        assert_agreement_across_processes,
+    )
+
+    assert_agreement_across_processes(start_step, "resume start_step")
 
     loader = UnpairedLoader(
         source_a,

@@ -46,6 +46,23 @@ import numpy as np
 class EarlyStoppingTracker:
     """Stateful stop-decision over inline metric snapshots."""
 
+    _CONFIG_KEYS = ("enable", "patience", "fid_plateau_threshold",
+                    "dmin_drop_threshold")
+
+    @classmethod
+    def from_config(cls, es_cfg: dict) -> "EarlyStoppingTracker":
+        """Build from a config ``early_stop`` dict, failing loudly on typos:
+        CUT_SCHEMA types early_stop as a bare dict, so a misspelled key
+        ("patince") would otherwise be silently dropped and the default
+        would apply — the silent-config-drift class the schema exists to
+        prevent."""
+        unknown = sorted(set(es_cfg) - set(cls._CONFIG_KEYS))
+        if unknown:
+            raise ValueError(
+                f"Unknown early_stop config key(s) {unknown}; "
+                f"valid keys: {list(cls._CONFIG_KEYS)}")
+        return cls(**{k: es_cfg[k] for k in cls._CONFIG_KEYS if k in es_cfg})
+
     def __init__(self, enable: bool = False, patience: int = 5,
                  fid_plateau_threshold: float = 1.0,
                  dmin_drop_threshold: float = 0.01):

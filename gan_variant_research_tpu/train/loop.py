@@ -104,13 +104,11 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
                 InlineEvaluator,
             )
 
+            # validate BEFORE the (weight-loading) evaluator so a config
+            # typo fails in milliseconds
+            early = EarlyStoppingTracker.from_config(
+                config.get("early_stop") or {})
             inline_eval = InlineEvaluator(config)
-            es_cfg = config.get("early_stop") or {}
-            early = EarlyStoppingTracker(**{
-                k: es_cfg[k] for k in (
-                    "enable", "patience", "fid_plateau_threshold",
-                    "dmin_drop_threshold") if k in es_cfg
-            })
 
     # resolve the resume point BEFORE building the loader: the index streams
     # are fast-forwarded by start_step so the resumed run consumes exactly
@@ -126,6 +124,13 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             resume_blob = load_checkpoint(path)
             start_step = resume_blob["step"]
             print(f"Resuming from step {start_step} ({path})")
+    # all hosts must agree on the resume point, or the pod silently diverges
+    # (different loader fast-forwards / step variants) and hangs at exit
+    from gan_variant_research_tpu.parallel.mesh import (
+        assert_agreement_across_processes,
+    )
+
+    assert_agreement_across_processes(start_step, "resume start_step")
 
     io_cfg = config.get("io") or {}
     # data.use_tfrec switches to the Kaggle TFRecord shards — the reference
@@ -247,7 +252,12 @@ def train_cut(config: dict, resume: str | None = None, max_steps_override: int |
             averager.clear()
             t_window = time.perf_counter()
             imgs_in_window = 0
-        if ckpt_every and s % ckpt_every == 0 and s > 0 and is_main:
+        # s == max_steps is excluded: the loop writes ckpt_final with this
+        # exact state right after exiting, so the periodic save would be an
+        # immediate duplicate full-state serialization whenever max_steps is
+        # a multiple of the cadence (the shipped config's common case)
+        if (ckpt_every and s % ckpt_every == 0 and s > 0 and s != max_steps
+                and is_main):
             path = ckpt_dir / f"ckpt_step{s}.msgpack"
             if ckpt_writer is not None:
                 # state arrays are immutable — capture by reference, write in

@@ -199,12 +199,14 @@ def test_loop_async_checkpoints_match_sync(tmp_path):
         root = tmp_path / mode
         train_cut(_tiny_cut_config(root, data, async_save))
         steps = sorted(p.name for p in (root / "ckpt").glob("ckpt_step*"))
-        # completed-step labeling: cadence 2 over 4 steps fires at 2 AND 4
-        assert steps == ["ckpt_step2.msgpack", "ckpt_step4.msgpack"], steps
+        # completed-step labeling: cadence 2 over 4 steps fires at 2; the
+        # step-4 boundary is covered by ckpt_final (writing a periodic file
+        # there too would serialize the identical state twice back-to-back)
+        assert steps == ["ckpt_step2.msgpack"], steps
         outs[mode] = root / "ckpt"
         assert (root / "ckpt" / "ckpt_final.msgpack").exists()
 
-    for name in ("ckpt_step2.msgpack", "ckpt_step4.msgpack"):
+    for name in ("ckpt_step2.msgpack", "ckpt_final.msgpack"):
         a = load_checkpoint(outs["async"] / name)
         s = load_checkpoint(outs["sync"] / name)
         assert a["step"] == s["step"]

@@ -375,3 +375,22 @@ def test_single_step_checkpoint_label_matches_state(workspace, tmp_path):
     train_cut(cfg)
     blob = load_checkpoint(tmp_path / "ckpts" / "ckpt_step4.msgpack")
     assert blob["step"] == 4  # stored step == filename step == state.step
+
+
+def test_no_duplicate_final_checkpoint(workspace):
+    """max_steps a multiple of the save cadence (the shipped configs'
+    common case) must NOT write ckpt_step{max} immediately followed by an
+    identical ckpt_final — one full-state serialization, not two."""
+    from gan_variant_research_tpu.train.checkpoint import load_checkpoint
+    from gan_variant_research_tpu.train.loop import train_cut
+
+    cfg = micro_config(workspace)
+    cfg["max_steps"] = 4
+    cfg["metrics"] = {"save_checkpoint_every": 2}
+    cfg["output"]["checkpoint_dir"] = str(workspace / "ckpts_nodup")
+    cfg["output"]["log_dir"] = str(workspace / "logs_nodup")
+    train_cut(cfg)
+    d = workspace / "ckpts_nodup"
+    names = sorted(p.name for p in d.glob("ckpt_*.msgpack"))
+    assert names == ["ckpt_final.msgpack", "ckpt_step2.msgpack"], names
+    assert load_checkpoint(d / "ckpt_final.msgpack")["step"] == 4

@@ -171,3 +171,16 @@ def test_eval_cadence_alias_rules(metrics_ws):
     cfg["metrics"]["eval_every"] = 9
     with pytest.raises(ValueError, match="disagree"):
         InlineEvaluator(cfg)
+
+
+def test_early_stop_config_rejects_unknown_keys():
+    import pytest
+
+    from gan_variant_research_tpu.train.inline_metrics import (
+        EarlyStoppingTracker,
+    )
+
+    t = EarlyStoppingTracker.from_config({"enable": True, "patience": 10})
+    assert t.enable and t.patience == 10
+    with pytest.raises(ValueError, match="patince"):
+        EarlyStoppingTracker.from_config({"enable": True, "patince": 10})

@@ -73,3 +73,30 @@ def test_init_distributed_rejects_bad_strings():
         init_distributed("atuo")
     with pytest.raises(ValueError, match="multihost"):
         init_distributed("true")  # quoted-string YAML mistake
+
+
+def test_agreement_helper_single_process_noop():
+    from gan_variant_research_tpu.parallel.mesh import (
+        assert_agreement_across_processes,
+    )
+
+    assert_agreement_across_processes(1234, "resume start_step")  # no raise
+
+
+def test_agreement_helper_raises_on_divergence(monkeypatch):
+    """Simulated 2-process divergence: host 1 resolved a different resume
+    step than host 0 — must be an actionable error, not a collective hang."""
+    import numpy as np
+
+    import gan_variant_research_tpu.parallel.mesh as mesh_mod
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda v: np.array([1000, 0], np.int64))
+    with pytest.raises(RuntimeError, match="disagrees across processes"):
+        mesh_mod.assert_agreement_across_processes(1000, "resume start_step")
+
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda v: np.array([1000, 1000], np.int64))
+    mesh_mod.assert_agreement_across_processes(1000, "resume start_step")

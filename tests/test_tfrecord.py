@@ -369,3 +369,61 @@ def test_tfrec_tool_cli_invocation(tmp_path, capsys):
         (src / "a.jpg").read_bytes()
     # packed shards load through the training source
     assert len(tfr.TFRecordImageSource(tmp_path / "sh", size=16)) == 1
+
+
+def test_crc32c_python_fallback_matches_native(monkeypatch):
+    from gan_variant_research_tpu.data import native_loader as nl
+
+    # RFC 3720 vector holds for the pure-Python path
+    assert nl._crc32c_python(b"123456789", 0) == 0xE3069283
+    assert nl._crc32c_python(b"", 0) == 0
+    # running CRC equals one-shot
+    assert nl._crc32c_python(
+        b"456789", nl._crc32c_python(b"123", 0)) == 0xE3069283
+    if native_available():
+        rng = np.random.default_rng(11)
+        blob = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        assert nl._crc32c_python(blob, 0) == crc32c(blob)
+
+
+def test_write_without_native_codec_still_verifiable(tmp_path, monkeypatch):
+    """A shard packed on a host where the native codec failed to build must
+    carry REAL checksums: zero CRCs would poison the file for every reader
+    that verifies (including this repo's own index_tfrecord)."""
+    from gan_variant_research_tpu.data import native_loader as nl
+
+    payloads = [b"alpha", b"x" * 257]
+    monkeypatch.setattr(nl, "_load", lambda: None)  # simulate missing codec
+    tfr.write_tfrecord(tmp_path / "t.tfrec", payloads)
+    monkeypatch.undo()
+    # read back with verification through whatever path this host has
+    assert list(tfr.iter_records(tmp_path / "t.tfrec")) == payloads
+
+
+def test_unpack_name_collision_keeps_every_record(tmp_path, capsys):
+    from gan_variant_research_tpu.cli.tfrec_tool import unpack
+
+    rng = np.random.default_rng(12)
+    blobs = [_jpeg_bytes(rng) for _ in range(3)]
+    recs = [
+        tfr.make_example({"image_name": "same.jpg", "image": blobs[0]}),
+        tfr.make_example({"image_name": "same.jpg", "image": blobs[1]}),
+        # distinct dirs that collapse to one basename
+        tfr.make_example({"image_name": "a/same.jpg", "image": blobs[2]}),
+    ]
+    tfr.write_tfrecord(tmp_path / "x.tfrec", recs)
+    written = unpack(tmp_path / "x.tfrec", tmp_path / "out")
+    assert len(written) == len(set(written)) == 3
+    assert sorted(p.read_bytes() for p in written) == sorted(blobs)
+    assert "collision" in capsys.readouterr().out
+
+
+def test_source_close_releases_handles(tfrec_dir):
+    src = tfr.TFRecordImageSource(tfrec_dir, size=32)
+    src.get(0)
+    src.get(5)  # second shard
+    assert src._open_handles and all(not f.closed for f in src._open_handles)
+    handles = list(src._open_handles)
+    src.close()
+    assert all(f.closed for f in handles)
+    assert not src._open_handles

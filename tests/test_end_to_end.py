@@ -353,9 +353,18 @@ def test_window_grid_realigns_after_offgrid_resume(workspace, tmp_path):
 
     cfg2 = dict(cfg, max_steps=8)
     train_cut(cfg2, resume="auto")  # resumes from ckpt_final @ step 3
-    for s in (4, 6, 8):  # realigned grid keeps firing the cadence
+    for s in (4, 6):  # realigned grid keeps firing the cadence
         blob = load_checkpoint(tmp_path / "ckpts" / f"ckpt_step{s}.msgpack")
         assert blob["step"] == s
+    # step 8 == max_steps: the periodic save is skipped (no duplicate
+    # serialization next to ckpt_final) — the final checkpoint carries it
+    assert not (tmp_path / "ckpts" / "ckpt_step8.msgpack").exists()
+    final = load_checkpoint(tmp_path / "ckpts" / "ckpt_final.msgpack")
+    assert final["step"] == 8
+    # and auto-resume resolves ckpt_final as the furthest-along state
+    from gan_variant_research_tpu.train.checkpoint import latest_checkpoint
+    best = latest_checkpoint(tmp_path / "ckpts")
+    assert best is not None and best.name == "ckpt_final.msgpack"
 
 
 def test_single_step_checkpoint_label_matches_state(workspace, tmp_path):

@@ -2,10 +2,24 @@
 
 Runs the flagship donated jitted train step (full semantics: D hinge, lazy
 R1, PatchNCE, identity warmup, DiffAugment, EMA, device-resident
-augmentation) and prints ONE JSON line:
+augmentation) and prints JSON lines of the form:
 
     {"metric": "images/sec/chip (CUT 256x256 train)", "value": N,
      "unit": "images/sec/chip", "vs_baseline": N, ...per-window stats}
+
+The LAST complete line is the result (the driver parses the tail). The
+bench is progressive so a cold compile cache or an early timeout can never
+leave the run without a number:
+
+- stage progress goes to stderr with timestamps;
+- the two warm-phase step variants compile first (concurrently — XLA
+  compilation releases the GIL), a warm window is timed, and a provisional
+  warm-only line is emitted immediately;
+- the steady-phase variants then compile, the first warm+steady blended
+  line replaces it, and each additional measurement rep refines it;
+- SIGTERM/SIGINT re-emit the best-available line (or an explicit
+  status-only line if nothing was measured) before exiting, so `timeout N
+  python bench.py` always ends with parseable output.
 
 Methodology:
 - Batches are staged on device before the timed region, exactly like the
@@ -29,15 +43,58 @@ Baseline: the reference trains 60k steps × batch 12 in 8-10 h on an A100
 from __future__ import annotations
 
 import json
+import os
+import signal
 import statistics
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 22.5  # A100 anchor, SURVEY.md §6
+METRIC = "images/sec/chip (CUT 256x256 train)"
+
+_T0 = time.time()
+_PHASE = "startup"
+_LAST_LINE: str | None = None
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(result: dict) -> None:
+    global _LAST_LINE
+    _LAST_LINE = json.dumps(result)
+    print(_LAST_LINE, flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001 - signal handler signature
+    """Guarantee the tail of stdout is one complete JSON line, then die.
+    Re-emitting the best-known line is idempotent for the tail-parsing
+    driver and repairs a hypothetical torn write."""
+    if _LAST_LINE is not None:
+        print(_LAST_LINE, flush=True)
+    else:
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0, "unit": "images/sec/chip",
+            "vs_baseline": 0.0, "provisional": True,
+            "status": f"terminated by signal {signum} during: {_PHASE}",
+        }), flush=True)
+    sys.stderr.flush()
+    os._exit(124)
+
+
+def _phase(name: str) -> None:
+    global _PHASE
+    _PHASE = name
+    _log(name)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     from gan_variant_research_tpu.core.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -56,11 +113,14 @@ def main():
         cfg["model"]["generator"] = {"ngf": 8, "n_blocks": 2}
         cfg["model"]["discriminator"] = {"ndf": 8, "n_layers": 2, "num_scales": 1}
 
+    _phase(f"init trainer (backend={jax.default_backend()}, chips={n_chips}, "
+           f"batch={batch})")
     trainer = CUTTrainer(cfg)
     state = trainer.init_state()
 
     # distinct batches, staged on device outside the timed region (the
     # training loop's loader does the same from its prefetch thread)
+    _phase("staging input batches on device")
     rng = np.random.default_rng(0)
     sharding = trainer.mesh.batch_sharding(4)
     batches = [
@@ -73,8 +133,15 @@ def main():
     ]
     jax.block_until_ready(batches)
 
-    # compile all step variants (cheap on reruns: persistent compile cache)
-    trainer.warm_compile(state, *batches[0])
+    def compile_variants(variants, label):
+        _phase(f"compiling {label} step variants {variants} "
+               "(concurrent; ~1s each on a warm persistent cache, minutes "
+               "each cold)")
+        t0 = time.perf_counter()
+        trainer.warm_compile(
+            state, *batches[0], variants=variants, parallel=True,
+            progress=lambda v: _log(f"  compiled (r1={v[0]}, idt={v[1]})"))
+        _log(f"{label} compiles done in {time.perf_counter() - t0:.1f}s")
 
     def window(start_step: int, n: int) -> float:
         """Seconds/step over n steps starting at start_step (windows start
@@ -95,30 +162,63 @@ def main():
 
     n_steps = 16 if on_tpu else 2
     reps = 5 if on_tpu else 1
-    warm_windows = [window(0, n_steps) for _ in range(reps)]
-    steady_windows = [window(cfg["warmup_steps"] + 16, n_steps) for _ in range(reps)]
-    # best-of windows: run-to-run contention on the shared tunnel; min
-    # estimates uncontended capability, the spread is reported below
-    t_warm = min(warm_windows)
-    t_steady = min(steady_windows)
     warm_frac = min(1.0, cfg["warmup_steps"] / 60000.0)
-    dt = warm_frac * t_warm + (1.0 - warm_frac) * t_steady
+    warm_windows: list[float] = []
+    steady_windows: list[float] = []
 
-    per_chip = batch / dt / n_chips
-    print(json.dumps({
-        "metric": "images/sec/chip (CUT 256x256 train)",
-        "value": round(per_chip, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / REFERENCE_IMAGES_PER_SEC, 3),
-        "warm_ms_per_step": [round(1000 * t, 1) for t in warm_windows],
-        "steady_ms_per_step": [round(1000 * t, 1) for t in steady_windows],
-        # per-phase spreads: pooling the two regimes would inflate the noise
-        # estimate by their systematic mean difference (identity on vs off)
-        "warm_stddev_ms": round(1000 * statistics.pstdev(warm_windows), 2),
-        "steady_stddev_ms": round(1000 * statistics.pstdev(steady_windows), 2),
-        "batch_per_chip": batch // n_chips,
-        "n_chips": n_chips,
-    }))
+    def result(provisional: bool) -> dict:
+        # best-of windows: run-to-run contention on the shared tunnel; min
+        # estimates uncontended capability, the spread is reported below
+        t_warm = min(warm_windows)
+        if steady_windows:
+            dt = (warm_frac * t_warm
+                  + (1.0 - warm_frac) * min(steady_windows))
+        else:
+            dt = t_warm  # warm-only estimate (identity active: pessimistic)
+        per_chip = batch / dt / n_chips
+        out = {
+            "metric": METRIC,
+            "value": round(per_chip, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(per_chip / REFERENCE_IMAGES_PER_SEC, 3),
+            "warm_ms_per_step": [round(1000 * t, 1) for t in warm_windows],
+            "steady_ms_per_step": [round(1000 * t, 1) for t in steady_windows],
+            # per-phase spreads: pooling the two regimes would inflate the
+            # noise estimate by their systematic mean difference (identity
+            # on vs off)
+            "warm_stddev_ms": round(1000 * statistics.pstdev(warm_windows), 2),
+            "steady_stddev_ms": round(
+                1000 * statistics.pstdev(steady_windows), 2)
+            if steady_windows else None,
+            "batch_per_chip": batch // n_chips,
+            "n_chips": n_chips,
+        }
+        if provisional:
+            out["provisional"] = True
+            if not steady_windows:
+                out["status"] = ("warm-phase-only estimate (identity loss "
+                                 "active; steady state is faster)")
+        return out
+
+    # Phase A: the two warm-phase variants → first provisional number.
+    compile_variants([(True, True), (False, True)], "warm-phase")
+    _phase(f"warm window 1/{reps} ({n_steps} steps)")
+    warm_windows.append(window(0, n_steps))
+    _emit(result(provisional=True))
+
+    # Phase B: steady-phase variants → first blended warm+steady pair.
+    compile_variants([(True, False), (False, False)], "steady-phase")
+    _phase(f"steady window 1/{reps} ({n_steps} steps)")
+    steady_windows.append(window(cfg["warmup_steps"] + 16, n_steps))
+    _emit(result(provisional=reps > 1))
+
+    # Refinement reps: each pair re-emits; the tail line is always the most
+    # informed measurement so far.
+    for rep in range(1, reps):
+        _phase(f"measurement rep {rep + 1}/{reps}")
+        warm_windows.append(window(0, n_steps))
+        steady_windows.append(window(cfg["warmup_steps"] + 16, n_steps))
+        _emit(result(provisional=rep + 1 < reps))
 
 
 if __name__ == "__main__":

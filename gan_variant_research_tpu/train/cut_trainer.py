@@ -392,12 +392,49 @@ class CUTTrainer:
             lambda *xs: jnp.concatenate(xs, axis=0), *losses_list
         )
 
-    def warm_compile(self, state, photos_u8, monets_u8):
-        """Pre-compile every step variant (results discarded; requires
-        donation off, the default)."""
-        for do_r1 in (False, True):
-            for do_identity in (False, True):
-                self._jit_step(state, photos_u8, monets_u8, do_r1, do_identity)
+    def warm_compile(self, state, photos_u8, monets_u8, variants=None,
+                     parallel: bool = False, progress=None):
+        """Pre-compile step variants (results discarded; requires donation
+        off, the default). ``variants`` restricts to specific
+        (do_r1, do_identity) pairs; default is all four. ``parallel=True``
+        compiles them from worker threads — XLA compilation releases the
+        GIL, so a cold cache pays max() instead of sum() of compile times
+        (bench.py relies on this; the main thread stays signal-responsive
+        by polling the joins). ``progress(variant)`` is called as each
+        variant finishes."""
+        if variants is None:
+            variants = [(r1, idt) for r1 in (False, True)
+                        for idt in (False, True)]
+
+        def one(v):
+            self._jit_step(state, photos_u8, monets_u8, *v)
+            if progress is not None:
+                progress(v)
+
+        if not parallel:
+            for v in variants:
+                one(v)
+            return
+
+        import threading
+
+        errors = []
+
+        def guarded(v):
+            try:
+                one(v)
+            except BaseException as e:  # surfaced on the caller thread below
+                errors.append((v, e))
+
+        threads = [threading.Thread(target=guarded, args=(v,), daemon=True)
+                   for v in variants]
+        for t in threads:
+            t.start()
+        for t in threads:
+            while t.is_alive():
+                t.join(0.25)  # bounded joins keep signal handlers live
+        if errors:
+            raise errors[0][1]
 
     def _train_step(self, state: CUTTrainState, photos_u8, monets_u8,
                     do_r1: bool = True, do_identity: bool = True):

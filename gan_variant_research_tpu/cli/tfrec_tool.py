@@ -81,8 +81,15 @@ def unpack(tfrec: str | Path, out: str | Path, image_key: str | None = None,
             dst = out / name
             if dst in seen:
                 # duplicate image_name across shards (or names that collapse
-                # to one basename) — overwriting would silently drop records
-                dst = out / f"{dst.stem}__r{n}{dst.suffix}"
+                # to one basename) — overwriting would silently drop records.
+                # Re-check the renamed candidate too: a record legitimately
+                # named e.g. x__r2.jpg must not be clobbered by (or clobber)
+                # a renamed collision (mirrors generate_folder.save_img's
+                # __dupN loop).
+                stem, suffix, k = dst.stem, dst.suffix, n
+                while (out / f"{stem}__r{k}{suffix}") in seen:
+                    k += 1
+                dst = out / f"{stem}__r{k}{suffix}"
                 print(f"Warning: name collision for {name}; "
                       f"writing {dst.name}")
             seen.add(dst)

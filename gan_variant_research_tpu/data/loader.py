@@ -287,13 +287,29 @@ class UnpairedLoader:
 
     def close(self):
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=2.0)
-        self.pool.shutdown(wait=False, cancel_futures=True)
+        # Drain-and-join until the producer has ACTUALLY exited: it can be
+        # blocked on a full queue (drains below unblock it within its 0.5 s
+        # put timeout) or mid-decode (one batch of single-image pool.map
+        # tasks — bounded work). Closing the shard handles while those
+        # decodes are still reading raised ValueError into abandoned
+        # futures, so source close must come last, after the pool is idle.
+        deadline = 30.0
+        while self._thread.is_alive() and deadline > 0:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.5)
+            deadline -= 0.5
+        if self._thread.is_alive():
+            # pathological hang (e.g. a wedged device transfer): leak the
+            # handles rather than inject read-after-close errors
+            self.pool.shutdown(wait=False, cancel_futures=True)
+            return
+        # producer exited ⇒ its pool.map calls returned ⇒ no decode reads
+        # are in flight; wait=True reaps any cancelled stragglers
+        self.pool.shutdown(wait=True, cancel_futures=True)
         # release per-thread shard handles (TFRecordImageSource.close) —
         # folder sources have no retained fds and no close()
         for src in (self.photos.source, self.monets.source):

@@ -74,6 +74,33 @@ def index_tfrecord(path: str | Path) -> list[tuple[int, int]]:
     return index
 
 
+_warned_slow_verify = False
+
+
+def _warn_if_slow_verify() -> None:
+    """One-time heads-up when payload CRC verification is about to run on
+    the ~10 MB/s pure-Python CRC32C (native codec unavailable): ~25 ms per
+    256 KB record, a real training-throughput tax. Writes stay mandatory —
+    a shard written without checksums is poisoned for every other reader —
+    but reads of trusted local shards can opt out."""
+    global _warned_slow_verify
+    if _warned_slow_verify:
+        return
+    _warned_slow_verify = True
+    from gan_variant_research_tpu.data.native_loader import native_available
+
+    if not native_available():
+        import warnings
+
+        warnings.warn(
+            "native CRC32C codec unavailable: TFRecord payload verification "
+            "is using the ~10 MB/s pure-Python fallback. For trusted local "
+            "shards pass verify=False to TFRecordImageSource (or "
+            "iter_records) to skip payload CRCs on the read path.",
+            RuntimeWarning, stacklevel=3,
+        )
+
+
 def read_record(f, offset: int, length: int, verify: bool = True) -> bytes:
     """Read one framed record payload (and its trailing CRC) at offset."""
     f.seek(offset)
@@ -82,6 +109,7 @@ def read_record(f, offset: int, length: int, verify: bool = True) -> bytes:
         raise ValueError(f"truncated record at {offset}")
     data = blob[:length]
     if verify:
+        _warn_if_slow_verify()
         (data_crc,) = struct.unpack("<I", blob[length:])
         expect = _masked_crc(data)
         if expect != data_crc:
@@ -223,6 +251,12 @@ class TFRecordImageSource:
     Same surface as ImageFolderSource: ``len(src)`` and ``src.get(idx)`` →
     HWC uint8 RGB at ``size``². Files are indexed once at startup; reads
     use per-thread file handles (the loader decodes from a thread pool).
+
+    ``verify=False`` skips per-read payload CRCs — recommended for trusted
+    local shards on hosts where the native codec failed to build (the
+    pure-Python CRC32C fallback costs ~25 ms per 256 KB record; a one-time
+    RuntimeWarning fires when that path engages). Framing/length CRCs at
+    index time are cheap (12 bytes/record) and always checked.
     """
 
     def __init__(self, folder: str | Path, size: int,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import io
 import struct
+import warnings
 
 import numpy as np
 import pytest
@@ -416,6 +417,57 @@ def test_unpack_name_collision_keeps_every_record(tmp_path, capsys):
     assert len(written) == len(set(written)) == 3
     assert sorted(p.read_bytes() for p in written) == sorted(blobs)
     assert "collision" in capsys.readouterr().out
+
+
+def test_unpack_rename_rechecks_seen(tmp_path, capsys):
+    """A renamed collision candidate must itself be re-checked against
+    already-written names: a record legitimately named same__r2.jpg sits
+    exactly where the record-counter rename of a later collision lands."""
+    from gan_variant_research_tpu.cli.tfrec_tool import unpack
+
+    rng = np.random.default_rng(13)
+    blobs = [_jpeg_bytes(rng) for _ in range(3)]
+    recs = [
+        # record 2 is the collision (global counter n=2) → candidate
+        # same__r2.jpg, which record 0 legitimately owns
+        tfr.make_example({"image_name": "same__r2.jpg", "image": blobs[0]}),
+        tfr.make_example({"image_name": "same.jpg", "image": blobs[1]}),
+        tfr.make_example({"image_name": "same.jpg", "image": blobs[2]}),
+    ]
+    tfr.write_tfrecord(tmp_path / "x.tfrec", recs)
+    written = unpack(tmp_path / "x.tfrec", tmp_path / "out")
+    assert len(written) == len(set(written)) == 3
+    assert sorted(p.read_bytes() for p in written) == sorted(blobs)
+    names = {p.name for p in written}
+    assert {"same__r2.jpg", "same.jpg", "same__r3.jpg"} == names
+
+
+def test_slow_verify_warns_once_without_native_codec(tmp_path, monkeypatch):
+    from gan_variant_research_tpu.data import native_loader as nl
+
+    payloads = [b"payload-a", b"payload-b"]
+    tfr.write_tfrecord(tmp_path / "t.tfrec", payloads)
+    monkeypatch.setattr(nl, "_load", lambda: None)  # simulate missing codec
+    monkeypatch.setattr(tfr, "_warned_slow_verify", False)
+    with pytest.warns(RuntimeWarning, match="pure-Python"):
+        assert list(tfr.iter_records(tmp_path / "t.tfrec")) == payloads
+    # one-time: a second verified read stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert list(tfr.iter_records(tmp_path / "t.tfrec")) == payloads
+
+
+def test_verify_false_skips_slow_crc_warning(tmp_path, monkeypatch):
+    from gan_variant_research_tpu.data import native_loader as nl
+
+    payloads = [b"only"]
+    tfr.write_tfrecord(tmp_path / "t.tfrec", payloads)
+    monkeypatch.setattr(nl, "_load", lambda: None)
+    monkeypatch.setattr(tfr, "_warned_slow_verify", False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = list(tfr.iter_records(tmp_path / "t.tfrec", verify=False))
+    assert got == payloads
 
 
 def test_source_close_releases_handles(tfrec_dir):

@@ -346,14 +346,24 @@ class InceptionFID:
             lambda: self.module.init(jax.random.key(0),
                                      jnp.zeros((1, 299, 299, 3), jnp.float32))
         )["params"]
-        t_paths = {p for p, _ in _iter_leaves(template)}
-        g_paths = {p for p, _ in _iter_leaves(self.params)}
-        missing = t_paths - g_paths
-        extra = g_paths - t_paths
+        t_leaves = dict(_iter_leaves(template))
+        g_leaves = dict(_iter_leaves(self.params))
+        missing = t_leaves.keys() - g_leaves.keys()
+        extra = g_leaves.keys() - t_leaves.keys()
         if missing or extra:
             raise ValueError(
                 f"Converted Inception weights do not match the architecture; "
                 f"missing={sorted(missing)[:5]}… extra={sorted(extra)[:5]}…"
+            )
+        bad_shapes = [
+            f"{p}: {tuple(np.shape(g_leaves[p]))} != {tuple(t_leaves[p].shape)}"
+            for p in t_leaves
+            if tuple(np.shape(g_leaves[p])) != tuple(t_leaves[p].shape)
+        ]
+        if bad_shapes:
+            raise ValueError(
+                "Converted Inception weights have wrong leaf shapes "
+                f"(truncated or foreign checkpoint?): {bad_shapes[:5]}…"
             )
 
     def features_u8(self, u8_nhwc: np.ndarray) -> np.ndarray:

@@ -20,7 +20,14 @@ cd "$(dirname "$0")/.."
 # Canonical FID InceptionV3 weights (pytorch-fid / torch-fidelity /
 # torchmetrics all ship this exact file; the reference inherits it through
 # torchmetrics — /root/reference/EVAL/eval/mifid.py:12-13,39-48).
-WEIGHTS_URL="https://github.com/mseitzer/pytorch-fid/releases/download/fid_weights/pt_inception-2015-12-05-521c9b3b.pth"
+# The filename's -6726825d suffix IS the published integrity anchor: by the
+# torch.hub convention it is the first 8 hex chars of the file's SHA256,
+# and torch.hub.load_state_dict_from_url(check_hash=True) enforces exactly
+# this prefix. stage_fetch re-derives it from the downloaded bytes and
+# refuses a mismatch; export WEIGHTS_SHA256=<64 hex> to pin the full digest.
+WEIGHTS_URL="https://github.com/mseitzer/pytorch-fid/releases/download/fid_weights/pt_inception-2015-12-05-6726825d.pth"
+WEIGHTS_SHA256_PREFIX="6726825d"
+WEIGHTS_SHA256="${WEIGHTS_SHA256:-}"
 PTH="${PTH:-weights/pt_inception-2015-12-05.pth}"
 NPZ="${NPZ:-weights/pt_inception-2015-12-05.npz}"
 # Kaggle "gan-getting-started" layout (EVAL/README.md / QUICKSTART_BASELINE)
@@ -31,8 +38,22 @@ MONETS="$DATA_ROOT/monet_jpg"     # ~300 Monet paintings
 stage_fetch() {
   mkdir -p "$(dirname "$PTH")"
   echo "[fetch] $WEIGHTS_URL -> $PTH"
-  curl -fSL --retry 3 -o "$PTH" "$WEIGHTS_URL"   # <-- needs network egress
-  echo "[fetch] OK: $(du -h "$PTH" | cut -f1)"
+  curl -fSL --retry 3 -o "$PTH.download" "$WEIGHTS_URL"  # <-- needs egress
+  local got
+  got=$(sha256sum "$PTH.download" | cut -d' ' -f1)
+  if [ -n "$WEIGHTS_SHA256" ] && [ "$got" != "$WEIGHTS_SHA256" ]; then
+    echo "[fetch] FAIL: sha256 $got != pinned $WEIGHTS_SHA256" >&2
+    rm -f "$PTH.download"; exit 3
+  fi
+  if [ "${got:0:8}" != "$WEIGHTS_SHA256_PREFIX" ]; then
+    echo "[fetch] FAIL: sha256 $got does not start with the published" \
+         "torch.hub prefix $WEIGHTS_SHA256_PREFIX (tampered or truncated" \
+         "download - a wrong file here silently mis-anchors every FID/MiFID" \
+         "score)" >&2
+    rm -f "$PTH.download"; exit 3
+  fi
+  mv "$PTH.download" "$PTH"
+  echo "[fetch] OK: $(du -h "$PTH" | cut -f1), sha256 $got"
 }
 
 stage_convert() {

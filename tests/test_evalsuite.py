@@ -121,6 +121,44 @@ class TestInception:
         with pytest.raises(ValueError, match="canonical FID weights"):
             InceptionFID(None)
 
+    def test_validate_rejects_missing_leaf(self, net):
+        """The converter's gate (scripts/convert_inception.py): a truncated
+        checkpoint — a whole leaf gone — must fail validation."""
+        import copy
+
+        import jax
+
+        broken = copy.copy(net)
+        broken.params = jax.tree.map(lambda x: x, net.params)  # deep-ish copy
+        block = next(iter(broken.params))
+        leaf = next(iter(broken.params[block]))
+        del broken.params[block][leaf]
+        with pytest.raises(ValueError, match="do not match the architecture"):
+            broken._validate_params()
+
+    def test_validate_rejects_wrong_leaf_shape(self, net):
+        """A foreign/corrupt checkpoint with right paths but wrong tensor
+        shapes must fail validation, not silently mis-anchor FID."""
+        import copy
+
+        import jax
+
+        def first_leaf_path(tree, prefix=()):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    return first_leaf_path(v, prefix + (k,))
+                return prefix + (k,)
+
+        broken = copy.copy(net)
+        broken.params = jax.tree.map(np.asarray, net.params)
+        path = first_leaf_path(broken.params)
+        node = broken.params
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = node[path[-1]][..., :1]  # truncate last axis
+        with pytest.raises(ValueError, match="wrong leaf shapes"):
+            broken._validate_params()
+
     def test_torch_state_dict_conversion_roundtrip(self, net, tmp_path):
         """Build a torch-style state dict from the param tree (the naming
         bijection), convert it, and check the tree matches exactly."""

@@ -159,11 +159,9 @@ def _read_jsonlog(log_dir: Path) -> dict[str, np.ndarray]:
 
 
 def sample_grid(ckpt: Path, photos_dir: Path, monet_dir: Path, out_png: Path,
-                n: int = 6) -> None:
+                gen_out: Path, n: int = 6) -> None:
     """input photos / EMA G(photo) / target-domain paintings, n columns."""
     from PIL import Image
-
-    gen_out = out_png.parent / "_variant_gen"
     subprocess.run(
         [sys.executable, "-m", "gan_variant_research_tpu.cli.generate_folder",
          "--ckpt", str(ckpt), "--photos", str(photos_dir),
@@ -335,7 +333,8 @@ def main() -> None:
     print("[samples] grid from B's final EMA checkpoint...")
     sample_grid(out_b / "ckpt" / "ckpt_final.msgpack", data / "photos",
                 data / "monet",
-                REPO / "docs" / "variant_convergence_samples.png")
+                REPO / "docs" / "variant_convergence_samples.png",
+                gen_out=work / "_variant_gen")
 
     passed = all(checks.values())
     (REPO / "docs" / "variant_convergence.md").write_text(f"""# Variant-stack convergence + kill/resume ({time.strftime('%Y-%m-%d')})

@@ -71,17 +71,21 @@ def _emit(result: dict) -> None:
 
 def _on_signal(signum, frame):  # noqa: ARG001 - signal handler signature
     """Guarantee the tail of stdout is one complete JSON line, then die.
-    Re-emitting the best-known line is idempotent for the tail-parsing
-    driver and repairs a hypothetical torn write."""
+
+    The handler may interrupt _emit between print()'s text and newline
+    write() calls, so a re-emitted line must first SEAL any torn partial
+    line with a leading newline (blank lines are skipped by tail parsers);
+    it must also bypass the buffered TextIOWrapper, whose lock the
+    interrupted print may still hold. os.write to fd 1 does both."""
     if _LAST_LINE is not None:
-        print(_LAST_LINE, flush=True)
+        line = _LAST_LINE
     else:
-        print(json.dumps({
+        line = json.dumps({
             "metric": METRIC, "value": 0.0, "unit": "images/sec/chip",
             "vs_baseline": 0.0, "provisional": True,
             "status": f"terminated by signal {signum} during: {_PHASE}",
-        }), flush=True)
-    sys.stderr.flush()
+        })
+    os.write(1, b"\n" + line.encode() + b"\n")
     os._exit(124)
 
 

@@ -119,9 +119,10 @@ def _spawn(data: Path, out: Path, steps: int, bank: Path,
            "--out", str(out), "--steps", str(steps), "--bank", str(bank)]
     if resume:
         cmd += ["--resume", resume]
-    log = open(out / f"child_{int(time.time())}.log", "w")
-    return subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
-                            cwd=str(REPO))
+    with open(out / f"child_{int(time.time())}.log", "w") as log:
+        # the child duplicates the fd; the parent's handle can close at once
+        return subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                cwd=str(REPO))
 
 
 def _csv_max_step(path: Path) -> int:
@@ -162,12 +163,20 @@ def sample_grid(ckpt: Path, photos_dir: Path, monet_dir: Path, out_png: Path,
                 gen_out: Path, n: int = 6) -> None:
     """input photos / EMA G(photo) / target-domain paintings, n columns."""
     from PIL import Image
-    subprocess.run(
-        [sys.executable, "-m", "gan_variant_research_tpu.cli.generate_folder",
-         "--ckpt", str(ckpt), "--photos", str(photos_dir),
-         "--out", str(gen_out), "--size", str(SIZE), "--batch", str(n),
-         "--limit", str(n)],
-        cwd=str(REPO), check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(
+            [sys.executable, "-m",
+             "gan_variant_research_tpu.cli.generate_folder",
+             "--ckpt", str(ckpt), "--photos", str(photos_dir),
+             "--out", str(gen_out), "--size", str(SIZE), "--batch", str(n),
+             "--limit", str(n)],
+            cwd=str(REPO), check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        # surface the child's traceback — it is the only diagnostic left
+        # at the end of a ~45-minute A/B/B' run
+        print(e.stdout, file=sys.stderr)
+        print(e.stderr, file=sys.stderr)
+        raise
     photos = sorted(photos_dir.glob("*.jpg"))[:n]
     fakes = sorted(gen_out.rglob("*.jpg"))[:n]
     paintings = sorted(monet_dir.glob("*.jpg"))[:n]

@@ -26,6 +26,7 @@ import os
 import signal
 import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -47,12 +48,60 @@ def _bench_env() -> dict[str, str]:
     return env
 
 
-def _spawn_bench() -> subprocess.Popen:
-    return subprocess.Popen(
-        [sys.executable, str(REPO_ROOT / "bench.py")],
-        cwd=str(REPO_ROOT), env=_bench_env(),
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-    )
+class _BenchProc:
+    """bench.py child with both pipes drained by reader threads, so a
+    chatty cold compile can never block the child on a full pipe buffer
+    and waits enforce their deadline even when no line ever arrives."""
+
+    def __init__(self) -> None:
+        self.proc = subprocess.Popen(
+            [sys.executable, str(REPO_ROOT / "bench.py")],
+            cwd=str(REPO_ROOT), env=_bench_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        self.stdout_lines: list[str] = []
+        self.stderr_lines: list[str] = []
+        self._threads = [
+            threading.Thread(target=self._drain, args=(self.proc.stdout,
+                                                       self.stdout_lines),
+                             daemon=True),
+            threading.Thread(target=self._drain, args=(self.proc.stderr,
+                                                       self.stderr_lines),
+                             daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    @staticmethod
+    def _drain(stream, sink: list[str]) -> None:
+        for line in stream:  # list.append is atomic under the GIL
+            sink.append(line)
+
+    def wait_for(self, sink: list[str], predicate, timeout: float) -> bool:
+        """Poll sink until some line satisfies predicate or deadline."""
+        deadline = time.monotonic() + timeout
+        scanned = 0
+        while time.monotonic() < deadline:
+            lines = sink[scanned:]
+            scanned += len(lines)
+            if any(predicate(ln) for ln in lines):
+                return True
+            if self.proc.poll() is not None and scanned == len(sink):
+                return False  # child exited and everything was scanned
+            time.sleep(0.05)
+        return False
+
+    def finish(self, timeout: float) -> str:
+        """Wait for exit, join readers, return full stdout."""
+        try:
+            self.proc.wait(timeout=timeout)
+        finally:
+            if self.proc.poll() is None:
+                self.proc.kill()
+                self.proc.wait()
+        for t in self._threads:
+            t.join(timeout=10)
+        return "".join(self.stdout_lines)
 
 
 def _assert_json_tail(stdout: str) -> dict:
@@ -67,20 +116,6 @@ def _assert_json_tail(stdout: str) -> dict:
     return tail
 
 
-def _wait_for(stream, predicate, timeout: float, sink: list[str]) -> bool:
-    """Read lines off a pipe until predicate(line) or timeout."""
-    deadline = time.monotonic() + timeout
-    while time.monotonic() < deadline:
-        line = stream.readline()
-        if not line:
-            time.sleep(0.05)
-            continue
-        sink.append(line)
-        if predicate(line):
-            return True
-    return False
-
-
 def test_bench_sigterm_during_startup_still_emits_json_line():
     """SIGTERM before ANY measurement exists → status-only JSON, rc 124.
 
@@ -88,22 +123,22 @@ def test_bench_sigterm_during_startup_still_emits_json_line():
     dying while the step variants compile. The signal handler must leave a
     parseable tail even though no window was ever timed.
     """
-    proc = _spawn_bench()
+    bench = _BenchProc()
     try:
-        seen: list[str] = []
         # first stderr log line = the handler is installed and main() is
         # alive; signal while it is still initializing (no stdout yet)
-        assert _wait_for(proc.stderr, lambda ln: "[bench" in ln, 120, seen), (
-            f"no bench stderr activity: {seen}")
-        proc.send_signal(signal.SIGTERM)
+        assert bench.wait_for(bench.stderr_lines, lambda ln: "[bench" in ln,
+                              120), (
+            f"no bench stderr activity: {bench.stderr_lines}")
+        bench.proc.send_signal(signal.SIGTERM)
         # generous join: the handler fires when the interpreter next checks
         # signals (a compile in flight must finish its C++ call first)
-        stdout, _ = proc.communicate(timeout=600)
+        stdout = bench.finish(timeout=600)
     finally:
-        if proc.poll() is None:
-            proc.kill()
-            proc.communicate()
-    assert proc.returncode == 124, proc.returncode
+        if bench.proc.poll() is None:
+            bench.proc.kill()
+            bench.proc.wait()
+    assert bench.proc.returncode == 124, bench.proc.returncode
     tail = _assert_json_tail(stdout)
     assert tail.get("provisional") is True
     assert "terminated by signal" in tail.get("status", ""), tail
@@ -113,20 +148,20 @@ def test_bench_sigterm_during_startup_still_emits_json_line():
 def test_bench_sigterm_after_first_window_reemits_measurement():
     """Once the provisional warm-only line exists, a SIGTERM tail must be a
     real measurement (value > 0), not the status-only fallback."""
-    proc = _spawn_bench()
+    bench = _BenchProc()
     try:
-        seen: list[str] = []
-        ok = _wait_for(proc.stdout, lambda ln: ln.strip().startswith("{"),
-                       900, seen)
-        assert ok, f"no provisional stdout line within budget: {seen}"
-        proc.send_signal(signal.SIGTERM)
-        stdout, _ = proc.communicate(timeout=600)
+        ok = bench.wait_for(bench.stdout_lines,
+                            lambda ln: ln.strip().startswith("{"), 900)
+        assert ok, f"no provisional stdout line within budget: " \
+                   f"{bench.stderr_lines[-20:]}"
+        bench.proc.send_signal(signal.SIGTERM)
+        stdout = bench.finish(timeout=600)
     finally:
-        if proc.poll() is None:
-            proc.kill()
-            proc.communicate()
-    assert proc.returncode == 124, proc.returncode
-    tail = _assert_json_tail("".join(seen) + stdout)
+        if bench.proc.poll() is None:
+            bench.proc.kill()
+            bench.proc.wait()
+    assert bench.proc.returncode == 124, bench.proc.returncode
+    tail = _assert_json_tail(stdout)
     assert tail["value"] > 0, tail
     assert tail["vs_baseline"] > 0, tail
 

@@ -166,6 +166,32 @@ def test_bench_sigterm_after_first_window_reemits_measurement():
     assert tail["vs_baseline"] > 0, tail
 
 
+def test_bench_signal_handler_seals_torn_stdout_line():
+    """The handler may interrupt _emit between print()'s text and newline
+    writes; the re-emitted line must seal the torn partial line so the
+    driver's tail json.loads still succeeds."""
+    code = (
+        "import sys, os; sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "bench._LAST_LINE = '{\"metric\": \"m\", \"value\": 1.0, "
+        "\"unit\": \"images/sec/chip\", \"vs_baseline\": 1.0}'\n"
+        "os.write(1, b'{\"torn\": ')  # a write interrupted mid-line\n"
+        "bench._on_signal(15, None)\n" % str(REPO_ROOT)
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=str(REPO_ROOT),
+                          env=_bench_env(), capture_output=True, text=True,
+                          timeout=120)
+    assert proc.returncode == 124, (proc.returncode, proc.stderr)
+    lines = proc.stdout.splitlines()
+    assert lines[-1] == (
+        '{"metric": "m", "value": 1.0, "unit": "images/sec/chip", '
+        '"vs_baseline": 1.0}')
+    tail = json.loads(lines[-1])
+    assert tail["value"] == 1.0
+    # the torn fragment was sealed onto its own line, not merged
+    assert lines[0] == '{"torn": '
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_8_devices():
     """The driver's multi-chip gate: one full CUT train step (R1 branch,

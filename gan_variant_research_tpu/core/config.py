@@ -217,6 +217,7 @@ CUT_SCHEMA: dict = {
             "style_dropout": {"alpha_min": _num, "alpha_max": _num},
             "remat": bool,
             "use_pallas": bool,
+            "pad_free": bool,
             "use_s2d": bool,
         },
         "discriminator": {

@@ -74,6 +74,10 @@ class ResidualBlock(nn.Module):
     activation: str = "relu"
     use_bias: bool = True
     use_pallas: bool = False
+    # compute reflect-pad convs as zero-pad conv + exact border correction,
+    # skipping the (B, H+2, W+2, C) pad materialization
+    # (ops/nn_ops.py::conv3x3_reflect_padfree)
+    pad_free: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -108,14 +112,24 @@ class ResidualBlock(nn.Module):
         act = activation_fn(self.activation)
         zero_pad = self.padding_type == "zero"
 
+        pad_free = (self.pad_free and self.padding_type == "reflect"
+                    and x.shape[1] >= 2 and x.shape[2] >= 2)
+
         def conv(h, kernel, bias):
-            if not zero_pad:
-                h = pad_2d(h, 1, self.padding_type)
-            pad = ((1, 1), (1, 1)) if zero_pad else ((0, 0), (0, 0))
-            y = jax.lax.conv_general_dilated(
-                h, kernel.astype(self.dtype), (1, 1), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if pad_free:
+                from gan_variant_research_tpu.ops.nn_ops import (
+                    conv3x3_reflect_padfree,
+                )
+
+                y = conv3x3_reflect_padfree(h, kernel.astype(self.dtype))
+            else:
+                if not zero_pad:
+                    h = pad_2d(h, 1, self.padding_type)
+                pad = ((1, 1), (1, 1)) if zero_pad else ((0, 0), (0, 0))
+                y = jax.lax.conv_general_dilated(
+                    h, kernel.astype(self.dtype), (1, 1), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             if self.use_bias:
                 y = y + bias.astype(self.dtype)
             return y
@@ -179,6 +193,10 @@ class ResNetGenerator(nn.Module):
     # route eligible residual blocks through the fused Pallas pad+conv
     # kernels (ops/pallas/resblock.py)
     use_pallas: bool = False
+    # trunk reflect-pad convs as zero-pad conv + exact border correction —
+    # removes the per-conv (B, H+2, W+2, C) pad copies the profiler flagged
+    # (docs/PERF.md); exact, float-reordered only at the 1-px output border
+    pad_free: bool = False
     # exact space-to-depth schedule for the 7×7 stem/head convs (ops/s2d.py):
     # same parameters and math, ~4× faster on the MXU for 3-channel tensors
     use_s2d: bool = True
@@ -249,6 +267,7 @@ class ResNetGenerator(nn.Module):
                 activation=self.activation,
                 use_bias=self.use_bias,
                 use_pallas=self.use_pallas,
+                pad_free=self.pad_free,
                 name=f"res_{i}",
                 **kw,
             )(h)

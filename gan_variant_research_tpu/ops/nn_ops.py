@@ -48,6 +48,52 @@ def reflect_pad_2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def conv3x3_reflect_padfree(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ReflectionPad(1) + 3×3 valid conv with NO padded-buffer copy.
+
+    XLA cannot absorb reflect padding into a convolution the way it folds
+    zero padding, so the straightforward `conv(valid, reflect_pad(x))`
+    materializes a (B, H+2, W+2, C) copy of every trunk activation, forward
+    and backward — measured as the one sub-roofline slice of the CUT train
+    step (docs/PERF.md "Step-time attribution r3": 36 such copies,
+    ~6.3 GB/step at half HBM bandwidth).
+
+    This computes the identical function as `conv_zero_SAME(x) + ring`,
+    where `ring` — the pad border's contribution, linear in interior
+    rows/cols 1 and H−2 / W−2 — is restored by four convs over 1-pixel
+    strips that touch only the output border:
+
+      out[0,  :] += K[0] ⊛w reflect_w(x[1]);   out[H−1, :] += K[2] ⊛w reflect_w(x[H−2])
+      out[:,  0] += K[:,0] ⊛h_zero x[:, 1];    out[:, W−1] += K[:,2] ⊛h_zero x[:, W−2]
+
+    (the top/bottom strips carry their own width reflection, so the four
+    corner pad pixels — x[1,1] etc. — enter exactly once). Mathematically
+    exact; float summation is reordered only on the 1-pixel output border.
+    Requires H ≥ 2 and W ≥ 2 (same domain as reflect padding itself).
+    """
+    _, h, w, _ = x.shape
+    dn = ("NHWC", "HWIO", "NHWC")
+    conv = jax.lax.conv_general_dilated
+    out = conv(x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+
+    wpad = ((0, 0), (0, 0), (1, 1), (0, 0))
+    top = conv(jnp.pad(x[:, 1:2], wpad, mode="reflect"), kernel[0:1],
+               (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn)
+    bot = conv(jnp.pad(x[:, h - 2:h - 1], wpad, mode="reflect"), kernel[2:3],
+               (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn)
+    left = conv(x[:, :, 1:2], kernel[:, 0:1],
+                (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn)
+    right = conv(x[:, :, w - 2:w - 1], kernel[:, 2:3],
+                 (1, 1), ((1, 1), (0, 0)), dimension_numbers=dn)
+
+    zeros = ((0, 0),) * 2
+    out = out + jnp.pad(top, ((0, 0), (0, h - 1), *zeros))
+    out = out + jnp.pad(bot, ((0, 0), (h - 1, 0), *zeros))
+    out = out + jnp.pad(left, ((0, 0), (0, 0), (0, w - 1), (0, 0)))
+    out = out + jnp.pad(right, ((0, 0), (0, 0), (w - 1, 0), (0, 0)))
+    return out
+
+
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope)
 

@@ -97,6 +97,7 @@ def build_generator(gen_cfg: dict, policy: Policy,
         alpha_max=sd.get("alpha_max", 0.9),
         remat=gen_cfg.get("remat", False),
         use_pallas=gen_cfg.get("use_pallas", False),
+        pad_free=gen_cfg.get("pad_free", False),
         use_s2d=gen_cfg.get("use_s2d", True),
         dtype=policy.compute_dtype,
         param_dtype=policy.param_dtype,

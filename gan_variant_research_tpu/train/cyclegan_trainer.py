@@ -67,6 +67,7 @@ def _build_generator(model_cfg: dict, policy: Policy):
         ngf=model_cfg.get("ngf", 64),
         n_blocks=model_cfg.get("n_blocks", 9),
         use_bias=False,  # Basic_GAN convs are bias-free (src/models.py:12-52)
+        pad_free=model_cfg.get("pad_free", False),
         use_s2d=model_cfg.get("use_s2d", True),
         dtype=policy.compute_dtype,
         param_dtype=policy.param_dtype,

@@ -16,6 +16,14 @@ completion, best-of reps.
 
     python scripts/probe_xla_flags.py            # full grid
     python scripts/probe_xla_flags.py --cell ""  # one cell (control)
+
+MEASURED 2026-08-19 (one v5e over the axon tunnel): control reproduces
+the 229.4 ms record, but this environment's client XLA build hard-aborts
+on TPU compiler flags (`F parse_flags_from_env: Unknown flag in
+XLA_FLAGS: --xla_tpu_scoped_vmem_limit_kib=...`) — the axon client does
+not link libtpu's flag table and compilation happens server-side, so
+compiler-flag tuning is NOT probe-able here. The grid remains valid on a
+real TPU VM, where libtpu parses these from XLA_FLAGS.
 """
 
 from __future__ import annotations
@@ -117,7 +125,7 @@ def main() -> None:
         print(f"[grid] {name}: XLA_FLAGS={env['XLA_FLAGS']!r}",
               file=sys.stderr, flush=True)
         proc = subprocess.run(
-            [sys.executable, __file__, "--cell", flags],
+            [sys.executable, __file__, f"--cell={flags}"],
             cwd=str(REPO), env=env, capture_output=True, text=True,
             timeout=1800)
         if proc.returncode != 0:

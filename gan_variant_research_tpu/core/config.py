@@ -306,6 +306,8 @@ CYCLEGAN_SCHEMA: dict = {
         "n_layers": int,
         "spectral_norm_d": bool,
         "generator": str,  # "resnet" | "unet" (notebook lineage)
+        "use_s2d": bool,   # space-to-depth 7×7 stem/head (ops/s2d.py)
+        "pad_free": bool,  # pad-free reflect trunk convs (ops/nn_ops.py)
     },
     # every runtime key the CycleGAN trainer consumes is representable here
     # (the schema exists to prevent exactly the silent drift of allowing

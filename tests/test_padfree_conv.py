@@ -71,6 +71,27 @@ def test_resblock_pad_free_same_params_same_output():
     np.testing.assert_allclose(out_free, out_base, rtol=1e-5, atol=1e-5)
 
 
+def test_cut_trainer_step_with_pad_free():
+    """model.generator.pad_free composes with the full jitted CUT step
+    (config plumbing, vjp-shared forward, EMA): finite losses, step
+    advances."""
+    from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+
+    from tests.test_cut_trainer import batches, tiny_config
+
+    cfg = tiny_config(model={
+        "generator": {"ngf": 4, "n_blocks": 2, "pad_free": True},
+        "discriminator": {"ndf": 4, "n_layers": 2, "num_scales": 1},
+    })
+    trainer = CUTTrainer(cfg)
+    state = trainer.init_state()
+    p, m = batches(np.random.default_rng(0))
+    state, losses = trainer.train_step(state, p, m)
+    vals = {k: float(v) for k, v in losses.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    assert int(state.step) == 1
+
+
 def test_generator_pad_free_same_output_and_taps():
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3), jnp.float32)
     kw = dict(ngf=8, n_blocks=2)

@@ -16,6 +16,14 @@ docs/PERF.md "End-to-end training loop in THIS harness").
 
 Artifacts: runs/full_schedule_soak/log.jsonl (one line per window),
 checkpoints every 15k steps, docs/full_schedule_soak.md (final record).
+
+OPERATIONAL: the axon chip does NOT tolerate concurrent clients (two
+simultaneous processes hang where one finishes in 3 s — probed
+2026-08-20). This run holds the chip for ~4-5 h; launch it only at the
+START of a work session, with `setsid nohup`, and never when the
+driver's end-of-round bench.py could fire. A 200-step sanity run
+passed end to end (finite losses, checkpoints written, 91.9 img/s
+non-R1 windows).
 """
 
 from __future__ import annotations

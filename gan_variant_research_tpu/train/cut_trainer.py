@@ -435,6 +435,16 @@ class CUTTrainer:
             while t.is_alive():
                 t.join(0.25)  # bounded joins keep signal handlers live
         if errors:
+            if len(errors) > 1:
+                # every failed variant matters for debugging a cold-cache
+                # bench failure; don't let thread completion order hide
+                # all but an arbitrary one
+                raise RuntimeError(
+                    "warm_compile: "
+                    + "; ".join(f"variant (r1={v[0]}, idt={v[1]}) failed "
+                                f"with {type(e).__name__}: {e}"
+                                for v, e in errors)
+                ) from errors[0][1]
             raise errors[0][1]
 
     def _train_step(self, state: CUTTrainState, photos_u8, monets_u8,

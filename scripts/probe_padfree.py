@@ -103,10 +103,17 @@ def main() -> None:
 
     for cell in ("base", "padfree"):
         print(f"[grid] {cell}", file=sys.stderr, flush=True)
-        proc = subprocess.run(
-            [sys.executable, __file__, "--cell", cell],
-            cwd=str(REPO), env=dict(os.environ), capture_output=True,
-            text=True, timeout=2400)
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cell", cell],
+                cwd=str(REPO), env=dict(os.environ), capture_output=True,
+                text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            # emit the same JSON error contract instead of dying with a
+            # traceback that leaves the previous cell's line as the tail
+            print(json.dumps({"cell": cell, "error": "timeout after 2400s"}),
+                  flush=True)
+            continue
         if proc.returncode != 0:
             print(json.dumps({"cell": cell, "error": proc.stderr[-800:]}),
                   flush=True)

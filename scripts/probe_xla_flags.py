@@ -103,7 +103,7 @@ def run_cell(flags: str) -> dict:
         "steady_ms_per_step": [round(1000 * t, 1) for t in steady],
         "best_ms": round(1000 * min(steady), 1),
         "stddev_ms": round(1000 * statistics.pstdev(steady), 2),
-        "img_per_sec": round(32 / min(steady), 1),
+        "img_per_sec": round(batch / min(steady), 1),
         "compile_s": round(compile_s, 1),
     }
 

@@ -267,6 +267,17 @@ def main() -> None:
     first_q, last_q = slice(0, max(1, n // 4)), slice(-max(1, n // 4), None)
     warmup = max(WINDOW, (args.steps // 3) // WINDOW * WINDOW)
 
+    # Sample grid FIRST: generate_folder is a subprocess with its own jax
+    # client, and flash_eligible("auto") below initializes a client in THIS
+    # process — the axon chip hangs under two concurrent clients (probed
+    # 2026-08-20, full_schedule_soak.py OPERATIONAL note), so every child
+    # must finish before the parent's backend init.
+    print("[samples] grid from B's final EMA checkpoint...")
+    sample_grid(out_b / "ckpt" / "ckpt_final.msgpack", data / "photos",
+                data / "monet",
+                REPO / "docs" / "variant_convergence_samples.png",
+                gen_out=work / "_variant_gen")
+
     from gan_variant_research_tpu.models.attention import flash_eligible
 
     attn_core = ("pallas_flash" if flash_eligible(
@@ -338,12 +349,6 @@ def main() -> None:
                  f"attn core: {attn_core}")
     fig.tight_layout()
     fig.savefig(REPO / "docs" / "variant_convergence.png", dpi=110)
-
-    print("[samples] grid from B's final EMA checkpoint...")
-    sample_grid(out_b / "ckpt" / "ckpt_final.msgpack", data / "photos",
-                data / "monet",
-                REPO / "docs" / "variant_convergence_samples.png",
-                gen_out=work / "_variant_gen")
 
     passed = all(checks.values())
     (REPO / "docs" / "variant_convergence.md").write_text(f"""# Variant-stack convergence + kill/resume ({time.strftime('%Y-%m-%d')})

@@ -87,7 +87,16 @@ class _BenchProc:
             if any(predicate(ln) for ln in lines):
                 return True
             if self.proc.poll() is not None and scanned == len(sink):
-                return False  # child exited and everything was scanned
+                # Child exited — but the drain threads may still hold
+                # buffered pipe content (they append only when scheduled),
+                # so join them to EOF and re-scan once before concluding
+                # the line never arrived.
+                for t in self._threads:
+                    t.join(timeout=min(10.0, max(0.1,
+                                                 deadline - time.monotonic())))
+                lines = sink[scanned:]
+                scanned += len(lines)
+                return any(predicate(ln) for ln in lines)
             time.sleep(0.05)
         return False
 

@@ -212,3 +212,29 @@ def test_dryrun_multichip_8_devices():
     finally:
         sys.path.pop(0)
     dryrun_multichip(8)  # raises on non-finite losses or a failed step
+
+
+def test_warm_compile_parallel_surfaces_every_error():
+    """bench.py relies on warm_compile(parallel=True); when variants fail,
+    EVERY failure must be reported, not an arbitrary
+    thread-completion-ordered first one (self-review r4)."""
+    from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
+
+    class Boom(CUTTrainer):
+        def __init__(self):  # noqa: D401 - skip heavy init; only _jit_step used
+            pass
+
+        def _jit_step(self, state, p, m, do_r1, do_identity):
+            raise ValueError(f"boom r1={do_r1} idt={do_identity}")
+
+    t = Boom()
+    with pytest.raises(RuntimeError) as ei:
+        t.warm_compile(None, None, None, parallel=True)
+    msg = str(ei.value)
+    assert msg.count("failed with ValueError") == 4, msg
+    assert ei.value.__cause__ is not None
+
+    # single failure keeps its original exception type
+    with pytest.raises(ValueError, match="boom r1=True idt=True"):
+        t.warm_compile(None, None, None, variants=[(True, True)],
+                       parallel=True)

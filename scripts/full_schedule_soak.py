@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -71,6 +72,13 @@ def main() -> None:
     ap.add_argument("--log-every", type=int, default=250)
     ap.add_argument("--ckpt-every", type=int, default=15000)
     ap.add_argument("--out", default=str(REPO / "runs" / "full_schedule_soak"))
+    ap.add_argument("--wedge-timeout", type=float, default=600.0,
+                    help="abort if no window completes for this many seconds "
+                         "(a wedged tunnel RPC blocks the fetch forever — "
+                         "observed 2026-08-20: ~90 s windows stopped dead "
+                         "with the main thread in a futex wait and the axon "
+                         "relay idle; without a watchdog that silently eats "
+                         "the rest of a session)")
     args = ap.parse_args()
 
     from gan_variant_research_tpu.core.cache import enable_persistent_cache
@@ -107,6 +115,31 @@ def main() -> None:
     print(f"[soak] compiles done in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
+    # Wedge watchdog: device fetches block in an uninterruptible futex wait
+    # when the tunnel drops a session, so no in-band timeout can fire. A
+    # daemon thread tracks the last completed window and hard-exits with a
+    # self-explanatory record if progress stops. Compile/staging phases are
+    # covered too (they complete before this point).
+    import threading
+
+    progress = {"t": time.time(), "step": 0}
+
+    def _watchdog() -> None:
+        while True:
+            time.sleep(15.0)
+            stale = time.time() - progress["t"]
+            if stale > args.wedge_timeout:
+                rec = {"wedged": True, "last_step": progress["step"],
+                       "stale_s": round(stale, 1)}
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+                print(f"[soak] WEDGED: no window for {stale:.0f}s at step "
+                      f"{progress['step']} — tunnel RPC hang; aborting",
+                      file=sys.stderr, flush=True)
+                os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     warmup = cfg["warmup_steps"]
     t_start = time.perf_counter()
     t_win = t_start
@@ -120,6 +153,7 @@ def main() -> None:
 
         if (s + 1) % args.log_every == 0 or s + 1 == args.steps:
             vals = {k: float(v) for k, v in losses.items()}  # sync point
+            progress["t"], progress["step"] = time.time(), s + 1
             now = time.perf_counter()
             n_win = args.log_every if (s + 1) % args.log_every == 0 else \
                 (s + 1) % args.log_every

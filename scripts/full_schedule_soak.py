@@ -72,6 +72,14 @@ def main() -> None:
     ap.add_argument("--log-every", type=int, default=250)
     ap.add_argument("--ckpt-every", type=int, default=15000)
     ap.add_argument("--out", default=str(REPO / "runs" / "full_schedule_soak"))
+    ap.add_argument("--sync-every", type=int, default=50,
+                    help="fetch one loss scalar every N steps to bound the "
+                         "in-flight dispatch queue. Evidence 2026-08-20: "
+                         "runs that keep <=18 steps in flight (bench.py) or "
+                         "sync per step (the train CLI, resume_soak) run for "
+                         "hours on the axon tunnel; this harness's original "
+                         "250-deep enqueue wedged twice within ~25 min "
+                         "(futex-blocked fetch, relay idle)")
     ap.add_argument("--wedge-timeout", type=float, default=600.0,
                     help="abort if no window completes for this many seconds "
                          "(a wedged tunnel RPC blocks the fetch forever — "
@@ -150,6 +158,10 @@ def main() -> None:
         p = p_batches[s % N_BATCHES]
         m = m_batches[(s + s // N_BATCHES) % N_BATCHES]
         state, losses = trainer.train_step(state, p, m, step=s)
+
+        if (s + 1) % args.sync_every == 0:
+            float(losses["g_loss"])  # bound the in-flight queue (see --help)
+            progress["t"], progress["step"] = time.time(), s + 1
 
         if (s + 1) % args.log_every == 0 or s + 1 == args.steps:
             vals = {k: float(v) for k, v in losses.items()}  # sync point

@@ -70,8 +70,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60000)
     ap.add_argument("--log-every", type=int, default=250)
-    ap.add_argument("--ckpt-every", type=int, default=15000)
+    ap.add_argument("--ckpt-every", type=int, default=2000)
     ap.add_argument("--out", default=str(REPO / "runs" / "full_schedule_soak"))
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=256,
+                    help="--batch/--size exist so the resume/supervisor "
+                         "machinery can be driven at CPU scale; the soak "
+                         "record itself is batch 32 x 256^2")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --out and "
+                         "append to its log. This is the recovery half of the "
+                         "wedge watchdog: scripts/soak_supervisor.sh relaunches "
+                         "a wedged soak with --resume once the chip grant "
+                         "releases, exactly the framework's own `--resume auto` "
+                         "contract (train/loop.py:118-170)")
     ap.add_argument("--sync-every", type=int, default=50,
                     help="fetch one loss scalar every N steps to bound the "
                          "in-flight dispatch queue. Evidence 2026-08-20: "
@@ -96,19 +108,75 @@ def main() -> None:
     import jax
 
     from __graft_entry__ import _flagship_config
-    from gan_variant_research_tpu.train.checkpoint import save_checkpoint
+    from gan_variant_research_tpu.train.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    # The exact PID holding the chip grant — operators must kill THIS (never
+    # a pattern match) to free a wedged client.
+    Path("/tmp/soak.pid").write_text(str(os.getpid()))
     log_path = out / "log.jsonl"
-    log_f = open(log_path, "w")
+    log_f = open(log_path, "a" if args.resume else "w")
 
-    batch, size = 32, 256
+    # Wedge watchdog: device fetches block in an uninterruptible futex wait
+    # when the tunnel drops a session, so no in-band timeout can fire. A
+    # daemon thread tracks the last completed window and hard-exits with a
+    # self-explanatory record if progress stops. It starts BEFORE the first
+    # device touch: client creation, resume-restore, staging, and compile
+    # can all wedge too (attempt 2 on 2026-08-20 hung before its first
+    # window). Those startup phases get a fixed 900 s allowance (cold +
+    # CPU-contended compile was measured at 435 s); the configured timeout
+    # applies once the train loop is producing windows.
+    import threading
+
+    progress = {"t": time.time(), "step": 0, "training": False}
+
+    def _watchdog() -> None:
+        while True:
+            time.sleep(15.0)
+            stale = time.time() - progress["t"]
+            limit = args.wedge_timeout if progress["training"] else 900.0
+            if stale > limit:
+                rec = {"wedged": True, "last_step": progress["step"],
+                       "stale_s": round(stale, 1),
+                       "phase": "train" if progress["training"] else "startup"}
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+                print(f"[soak] WEDGED: no progress for {stale:.0f}s at step "
+                      f"{progress['step']} — tunnel RPC hang; aborting",
+                      file=sys.stderr, flush=True)
+                os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    batch, size = args.batch, args.size
     cfg = _flagship_config(image_size=size, batch_size=batch)
     cfg["max_steps"] = args.steps
     trainer = CUTTrainer(cfg)
-    state = trainer.init_state()
+
+    start_step = 0
+    if args.resume:
+        ckpt = latest_checkpoint(out)
+        if ckpt is not None:
+            blob = load_checkpoint(ckpt)
+            start_step = blob["step"]
+            state = trainer.state_from_payload(blob["payload"], start_step)
+            rec = {"resumed": start_step, "from": ckpt.name}
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+            print(f"[soak] resumed at step {start_step} from {ckpt.name}",
+                  file=sys.stderr, flush=True)
+        else:
+            state = trainer.init_state()
+            print("[soak] --resume: no checkpoint yet, fresh start",
+                  file=sys.stderr, flush=True)
+    else:
+        state = trainer.init_state()
 
     rng = np.random.default_rng(7)
     sharding = trainer.mesh.batch_sharding(4)
@@ -123,41 +191,25 @@ def main() -> None:
     print(f"[soak] compiles done in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    # Wedge watchdog: device fetches block in an uninterruptible futex wait
-    # when the tunnel drops a session, so no in-band timeout can fire. A
-    # daemon thread tracks the last completed window and hard-exits with a
-    # self-explanatory record if progress stops. Compile/staging phases are
-    # covered too (they complete before this point).
-    import threading
-
-    progress = {"t": time.time(), "step": 0}
-
-    def _watchdog() -> None:
-        while True:
-            time.sleep(15.0)
-            stale = time.time() - progress["t"]
-            if stale > args.wedge_timeout:
-                rec = {"wedged": True, "last_step": progress["step"],
-                       "stale_s": round(stale, 1)}
-                log_f.write(json.dumps(rec) + "\n")
-                log_f.flush()
-                print(f"[soak] WEDGED: no window for {stale:.0f}s at step "
-                      f"{progress['step']} — tunnel RPC hang; aborting",
-                      file=sys.stderr, flush=True)
-                os._exit(3)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    progress["t"], progress["step"] = time.time(), start_step
+    progress["training"] = True
 
     warmup = cfg["warmup_steps"]
     t_start = time.perf_counter()
     t_win = t_start
+    win_start = start_step
     losses = None
     nan_at = None
     window_rates: list[tuple[int, float]] = []
-    for s in range(args.steps):
+    for s in range(start_step, args.steps):
         p = p_batches[s % N_BATCHES]
         m = m_batches[(s + s // N_BATCHES) % N_BATCHES]
         state, losses = trainer.train_step(state, p, m, step=s)
+        # Heartbeat every dispatch, not just every sync: under CPU
+        # contention, dispatching sync_every steps can legitimately take
+        # minutes (1-core host), and the watchdog must only fire when a
+        # FETCH blocks (the loop stops moving), not when dispatch is slow.
+        progress["t"] = time.time()
 
         if (s + 1) % args.sync_every == 0:
             float(losses["g_loss"])  # bound the in-flight queue (see --help)
@@ -167,8 +219,8 @@ def main() -> None:
             vals = {k: float(v) for k, v in losses.items()}  # sync point
             progress["t"], progress["step"] = time.time(), s + 1
             now = time.perf_counter()
-            n_win = args.log_every if (s + 1) % args.log_every == 0 else \
-                (s + 1) % args.log_every
+            n_win = s + 1 - win_start
+            win_start = s + 1
             rate = batch * n_win / (now - t_win)
             window_rates.append((s + 1, rate))
             rec = {"step": s + 1, "wall_s": round(now - t_start, 1),
@@ -193,21 +245,36 @@ def main() -> None:
                     trainer.checkpoint_payload(state), config=cfg)
     log_f.close()
 
-    warm_rates = [r for st, r in window_rates if st <= warmup]
-    steady_rates = [r for st, r in window_rates if st > warmup]
+    # Aggregate across the WHOLE log (append-mode resumes included), so a
+    # supervised run that survived wedges reports the full trajectory.
+    all_windows: list[tuple[int, float]] = []
+    wedges = resumes = 0
+    for line in log_path.read_text().splitlines():
+        rec = json.loads(line)
+        if rec.get("wedged"):
+            wedges += 1
+        elif "resumed" in rec:
+            resumes += 1
+        elif "img_per_sec" in rec:
+            all_windows.append((rec["step"], rec["img_per_sec"]))
+
+    warm_rates = [r for st, r in all_windows if st <= warmup]
+    steady_rates = [r for st, r in all_windows if st > warmup]
     summary = {
         "steps_completed": int(state.step),
         "requested_steps": args.steps,
         "batch": batch,
         "image_size": size,
-        "wall_hours": round(wall / 3600.0, 3),
+        "wall_hours_final_attempt": round(wall / 3600.0, 3),
         "images_trained": int(state.step) * batch,
         "mean_img_per_sec_warm": round(float(np.mean(warm_rates)), 1)
         if warm_rates else None,
         "mean_img_per_sec_steady": round(float(np.mean(steady_rates)), 1)
         if steady_rates else None,
-        "min_window_img_per_sec": round(min(r for _, r in window_rates), 1),
-        "max_window_img_per_sec": round(max(r for _, r in window_rates), 1),
+        "min_window_img_per_sec": round(min(r for _, r in all_windows), 1),
+        "max_window_img_per_sec": round(max(r for _, r in all_windows), 1),
+        "tunnel_wedges_survived": wedges,
+        "resumes": resumes,
         "all_finite": nan_at is None,
         "nan_at": nan_at,
         "reference_anchor": "60k steps @ batch 12 in 8-10 h (A100 40GB, "

@@ -84,14 +84,17 @@ def main() -> None:
                          "a wedged soak with --resume once the chip grant "
                          "releases, exactly the framework's own `--resume auto` "
                          "contract (train/loop.py:118-170)")
-    ap.add_argument("--sync-every", type=int, default=50,
+    ap.add_argument("--sync-every", type=int, default=10,
                     help="fetch one loss scalar every N steps to bound the "
                          "in-flight dispatch queue. Evidence 2026-08-20: "
-                         "runs that keep <=18 steps in flight (bench.py) or "
-                         "sync per step (the train CLI, resume_soak) run for "
-                         "hours on the axon tunnel; this harness's original "
-                         "250-deep enqueue wedged twice within ~25 min "
-                         "(futex-blocked fetch, relay idle)")
+                         "wedge frequency tracks queue depth — per-step sync "
+                         "(the train CLI, resume_soak) ran for hours, "
+                         "bench.py's <=18-deep windows never wedged, this "
+                         "harness's 50-deep sync wedged within minutes as "
+                         "the tunnel degraded through the day, and the "
+                         "original 250-deep enqueue wedged twice within "
+                         "~25 min (futex-blocked fetch, relay idle). 10 "
+                         "costs <3% of a window and keeps the queue shallow")
     ap.add_argument("--wedge-timeout", type=float, default=600.0,
                     help="abort if no window completes for this many seconds "
                          "(a wedged tunnel RPC blocks the fetch forever — "

@@ -91,3 +91,41 @@ def test_build_feature_bank_direct_invocation(image_sets):
         assert z["features"].shape == (12, 2048)
     meta = json.loads(out_margin.read_text())
     assert 0.0 <= meta["margin"] <= 2.0 and meta["n_images"] == 12
+
+
+@pytest.mark.slow
+def test_full_schedule_soak_resumes_across_kills(tmp_path):
+    """The soak harness's wedge-recovery contract: a fresh tiny run writes
+    periodic checkpoints; a --resume relaunch (what soak_supervisor.sh does
+    after a tunnel wedge) restores the furthest checkpoint, extends the run,
+    and the aggregate summary counts the resume. Driven at CPU scale via
+    the harness's --batch/--size knobs."""
+    out = tmp_path / "soak"
+    base = [sys.executable, str(REPO / "scripts" / "full_schedule_soak.py"),
+            "--log-every", "2", "--ckpt-every", "2",
+            "--batch", "4", "--size", "64", "--out", str(out)]
+    # The soak's deployment target is ONE chip; don't inherit the pytest
+    # process's 8-device CPU mesh (batch 4 doesn't shard over it).
+    env = _clean_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    r1 = subprocess.run(base + ["--steps", "4"], cwd=REPO, env=env,
+                        capture_output=True, text=True, timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert (out / "ckpt_step2.msgpack").exists()
+    assert (out / "ckpt_final.msgpack").exists()
+
+    r2 = subprocess.run(base + ["--steps", "6", "--resume"], cwd=REPO,
+                        env=env, capture_output=True, text=True,
+                        timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed at step 4" in r2.stderr
+
+    records = [json.loads(line)
+               for line in (out / "log.jsonl").read_text().splitlines()]
+    assert {"resumed": 4, "from": "ckpt_final.msgpack"} in records
+    summary = json.loads(r2.stdout.strip().splitlines()[-2])
+    assert summary["steps_completed"] == 6
+    assert summary["resumes"] == 1
+    assert summary["all_finite"] is True
+    assert r2.stdout.strip().splitlines()[-1] == "PASS"

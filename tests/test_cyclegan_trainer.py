@@ -210,3 +210,19 @@ def test_window_matches_single_steps(base_trainer, rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
                     jax.tree_util.tree_leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_pad_free_step_and_checkpoint_compat(base_trainer, rng):
+    """model.pad_free composes with the full jitted CycleGAN step and is a
+    pure compute rewrite: the checkpoint payload tree is identical to the
+    reflect-pad trainer's, so checkpoints swap freely between the two."""
+    t = CycleGANTrainer(tiny_cfg(model={"pad_free": True}), steps_per_epoch=2)
+    s = t.init_state()
+    a, b = batches(rng)
+    s, losses = t.train_step(s, a, b)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert int(s.step) == 1
+    assert (jax.tree_util.tree_structure(t.checkpoint_payload(s))
+            == jax.tree_util.tree_structure(
+                base_trainer.checkpoint_payload(base_trainer.init_state())))

@@ -121,8 +121,10 @@ def main() -> None:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     # The exact PID holding the chip grant — operators must kill THIS (never
-    # a pattern match) to free a wedged client.
-    Path("/tmp/soak.pid").write_text(str(os.getpid()))
+    # a pattern match) to free a wedged client. Scoped to the run dir so a
+    # concurrent CPU-scale run (the test suite drives one) can't clobber
+    # the pid of the chip run an operator actually needs to kill.
+    (out / "soak.pid").write_text(str(os.getpid()))
     log_path = out / "log.jsonl"
     log_f = open(log_path, "a" if args.resume else "w")
 

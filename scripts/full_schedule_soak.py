@@ -139,17 +139,22 @@ def main() -> None:
     # applies once the train loop is producing windows.
     import threading
 
-    progress = {"t": time.time(), "step": 0, "training": False}
+    # phase: "startup" and "saving" get the fixed 900 s allowance (cold +
+    # CPU-contended compile measured at 435 s; a checkpoint save fetches a
+    # multi-hundred-MB payload over the degradable ~25 MB/s tunnel, so a
+    # healthy-but-slow save must not be misclassified as a wedge); the
+    # configured timeout applies only while the train loop produces windows.
+    progress = {"t": time.time(), "step": 0, "phase": "startup"}
 
     def _watchdog() -> None:
         while True:
             time.sleep(15.0)
             stale = time.time() - progress["t"]
-            limit = args.wedge_timeout if progress["training"] else 900.0
+            limit = args.wedge_timeout if progress["phase"] == "train" else 900.0
             if stale > limit:
                 rec = {"wedged": True, "last_step": progress["step"],
                        "stale_s": round(stale, 1),
-                       "phase": "train" if progress["training"] else "startup"}
+                       "phase": progress["phase"]}
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
                 print(f"[soak] WEDGED: no progress for {stale:.0f}s at step "
@@ -197,7 +202,7 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     progress["t"], progress["step"] = time.time(), start_step
-    progress["training"] = True
+    progress["phase"] = "train"
 
     warmup = cfg["warmup_steps"]
     t_start = time.perf_counter()
@@ -205,7 +210,6 @@ def main() -> None:
     win_start = start_step
     losses = None
     nan_at = None
-    window_rates: list[tuple[int, float]] = []
     for s in range(start_step, args.steps):
         p = p_batches[s % N_BATCHES]
         m = m_batches[(s + s // N_BATCHES) % N_BATCHES]
@@ -227,7 +231,6 @@ def main() -> None:
             n_win = s + 1 - win_start
             win_start = s + 1
             rate = batch * n_win / (now - t_win)
-            window_rates.append((s + 1, rate))
             rec = {"step": s + 1, "wall_s": round(now - t_start, 1),
                    "img_per_sec": round(rate, 1),
                    **{k: round(v, 4) for k, v in vals.items()}}
@@ -241,21 +244,34 @@ def main() -> None:
                 break
 
         if (s + 1) % args.ckpt_every == 0 and s + 1 != args.steps:
+            progress["phase"] = "saving"
             save_checkpoint(out / f"ckpt_step{s + 1}.msgpack", s + 1,
                             trainer.checkpoint_payload(state), config=cfg,
                             keep_last_n=3)
+            progress["t"], progress["phase"] = time.time(), "train"
+            t_win = time.perf_counter()  # don't bill the save to the window
 
     wall = time.perf_counter() - t_start
+    progress["phase"] = "saving"
     save_checkpoint(out / "ckpt_final.msgpack", int(state.step),
                     trainer.checkpoint_payload(state), config=cfg)
+    progress["t"] = time.time()
     log_f.close()
 
     # Aggregate across the WHOLE log (append-mode resumes included), so a
     # supervised run that survived wedges reports the full trajectory.
     all_windows: list[tuple[int, float]] = []
-    wedges = resumes = 0
+    wedges = resumes = torn_lines = 0
     for line in log_path.read_text().splitlines():
-        rec = json.loads(line)
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            # A prior attempt's os._exit(3) skips buffered flushes and the
+            # watchdog thread writes to the same file object, so a torn
+            # partial line is possible; it must not crash the summary of an
+            # otherwise-successful resumed run.
+            torn_lines += 1
+            continue
         if rec.get("wedged"):
             wedges += 1
         elif "resumed" in rec:
@@ -280,6 +296,7 @@ def main() -> None:
         "max_window_img_per_sec": round(max(r for _, r in all_windows), 1),
         "tunnel_wedges_survived": wedges,
         "resumes": resumes,
+        "torn_log_lines": torn_lines,
         "all_finite": nan_at is None,
         "nan_at": nan_at,
         "reference_anchor": "60k steps @ batch 12 in 8-10 h (A100 40GB, "

@@ -21,7 +21,10 @@ STEPS=${1:-15000}
 DEADLINE=${2:-$(($(date +%s) + 10800))}
 OUT=runs/full_schedule_soak
 mkdir -p "$OUT"
-echo $$ > /tmp/soak_supervisor.pid
+# Run-dir-scoped like the soak's own pid file (commit 99e886a): a fixed
+# /tmp path is clobbered by concurrent runs, so an operator may kill the
+# wrong supervisor.
+echo $$ > "$OUT/supervisor.pid"
 attempt=0
 
 while :; do

@@ -272,11 +272,18 @@ def main() -> None:
     # process — the axon chip hangs under two concurrent clients (probed
     # 2026-08-20, full_schedule_soak.py OPERATIONAL note), so every child
     # must finish before the parent's backend init.
+    # A grid failure must NOT abort: the convergence plot + .md verdict are
+    # the primary artifacts of a ~45-minute A/B/B' run and are written below.
     print("[samples] grid from B's final EMA checkpoint...")
-    sample_grid(out_b / "ckpt" / "ckpt_final.msgpack", data / "photos",
-                data / "monet",
-                REPO / "docs" / "variant_convergence_samples.png",
-                gen_out=work / "_variant_gen")
+    samples_err = None
+    try:
+        sample_grid(out_b / "ckpt" / "ckpt_final.msgpack", data / "photos",
+                    data / "monet",
+                    REPO / "docs" / "variant_convergence_samples.png",
+                    gen_out=work / "_variant_gen")
+    except Exception as e:  # subprocess/IO failure — keep the run's verdict
+        samples_err = f"{type(e).__name__}: {e}"
+        print(f"[samples] FAILED (continuing to plot/verdict): {samples_err}")
 
     from gan_variant_research_tpu.models.attention import flash_eligible
 
@@ -319,6 +326,7 @@ def main() -> None:
         "d_loss_last_quarter": round(float(by["d_loss"][last_q].mean()), 4),
         "identity_weight_last": float(by["identity_weight"][-1]),
         "run_minutes_A": round(t_a / 60, 1),
+        "sample_grid_error": samples_err,
         "checks": checks,
     }
 

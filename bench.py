@@ -170,6 +170,25 @@ def main():
     warm_windows: list[float] = []
     steady_windows: list[float] = []
 
+    # MFU: analytic model FLOPs of the step (conv arithmetic only, R1
+    # amortized — core/flops.py documents the pass accounting) against the
+    # chip generation's peak bf16 FLOP/s. Model FLOPs, not compiled FLOPs:
+    # remat/pad copies don't inflate the number.
+    from gan_variant_research_tpu.core.flops import (
+        cut_step_flops,
+        peak_bf16_flops,
+    )
+
+    device_kind = jax.devices()[0].device_kind
+    peak = peak_bf16_flops(device_kind) if on_tpu else None
+    warm_flops = cut_step_flops(cfg, "warm")
+    steady_flops = cut_step_flops(cfg, "steady")
+
+    def _mfu(flops: float, dt: float) -> float | None:
+        if peak is None or dt <= 0:
+            return None
+        return round(flops / (dt * n_chips * peak), 4)
+
     def result(provisional: bool) -> dict:
         # best-of windows: run-to-run contention on the shared tunnel; min
         # estimates uncontended capability, the spread is reported below
@@ -196,6 +215,15 @@ def main():
             if steady_windows else None,
             "batch_per_chip": batch // n_chips,
             "n_chips": n_chips,
+            "device_kind": device_kind,
+            "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+            "model_tflops_per_step_steady": round(steady_flops / 1e12, 3),
+            # per-chip MFU; blended mirrors the headline's warm/steady mix
+            "mfu_steady": _mfu(steady_flops, min(steady_windows))
+            if steady_windows else None,
+            "mfu_blended": _mfu(
+                warm_frac * warm_flops + (1 - warm_frac) * steady_flops, dt,
+            ) if steady_windows else _mfu(warm_flops, t_warm),
         }
         if provisional:
             out["provisional"] = True

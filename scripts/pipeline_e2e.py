@@ -1,0 +1,186 @@
+"""The reference's full workflow — train → generate 7k → score — as ONE chain.
+
+The reference's actual usage is: train 60k steps (QUICKSTART_BASELINE.md:
+105-108), dump 7,000 stylized JPEGs with generate_folder.py, then score the
+folder with the EVAL package (EVAL/IMPLEMENTATION_NOTES.md:107-118 — ~35 s
+end-to-end on an A100 for 9k fake + 300 real). Each stage of this rebuild is
+individually proven; this script exercises them as one chain at full scale
+and writes the committed record (docs/pipeline_e2e.md):
+
+  1. synthesize the input domains (the soak's synthetic two-domain set —
+     the real Monet dataset is an environment-gated anchor, docs/STATUS.md)
+  2. generate: cli/generate_folder --limit 7000 --zip  (EMA-first restore,
+     mirrored JPEG q95 tree + flat submission zip)
+  3. eval: evalsuite.cli --kid --pr with the deterministic vendored-mirror
+     Inception weights (tests/golden_pool3.deterministic_params — the
+     canonical pt_inception weights need egress; deploy_day.sh closes that)
+
+Stages 2-3 run as subprocesses (each gets its own axon client, strictly
+sequential — the chip tolerates one client at a time). Run ONLY when no
+other chip run is active.
+
+    python scripts/pipeline_e2e.py --ckpt runs/full_schedule_soak/ckpt_final.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from scripts.convergence_smoke import make_painting, make_photo  # noqa: E402
+
+
+def _cpu_env() -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run(cmd: list[str], label: str, env=None) -> float:
+    print(f"[e2e] {label}: {' '.join(cmd)}", flush=True)
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True, cwd=REPO, env=env)
+    dt = time.perf_counter() - t0
+    print(f"[e2e] {label} done in {dt:.1f}s", flush=True)
+    return dt
+
+
+def synth_folder(out: Path, n: int, maker, seed: int, size: int) -> float:
+    from gan_variant_research_tpu.data.native_loader import encode_jpeg
+
+    t0 = time.perf_counter()
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        (out / f"{i:05d}.jpg").write_bytes(encode_jpeg(maker(rng, size)))
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt",
+                    default=str(REPO / "runs/full_schedule_soak/ckpt_final.msgpack"))
+    ap.add_argument("--n-fake", type=int, default=7000)
+    ap.add_argument("--n-real", type=int, default=300)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--work", default=str(REPO / "runs/pipeline_e2e"))
+    ap.add_argument("--doc", default=str(REPO / "docs/pipeline_e2e.md"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="force every stage onto CPU (smoke-testing the "
+                         "chain without touching the chip)")
+    args = ap.parse_args()
+
+    work = Path(args.work)
+    work.mkdir(parents=True, exist_ok=True)
+    t = {}
+
+    # ---- stage 1: input domains (host, numpy + native libjpeg encoder) ----
+    print(f"[e2e] synthesizing {args.n_fake} photos + {args.n_real} paintings",
+          flush=True)
+    t["synth_inputs_s"] = synth_folder(
+        work / "photos", args.n_fake, make_photo, seed=11, size=args.size
+    ) + synth_folder(
+        work / "monet", args.n_real, make_painting, seed=12, size=args.size
+    )
+    print(f"[e2e] inputs done in {t['synth_inputs_s']:.1f}s", flush=True)
+
+    # ---- stage 2: generate 7k + submission zip ----
+    child_env = _cpu_env() if args.cpu else None
+    zip_path = work / "submission.zip"
+    t["generate_s"] = _run(
+        [sys.executable, "-m", "gan_variant_research_tpu.cli.generate_folder",
+         "--ckpt", args.ckpt, "--photos", str(work / "photos"),
+         "--out", str(work / "fake"), "--limit", str(args.n_fake),
+         "--batch", str(args.batch), "--size", str(args.size),
+         "--zip", str(zip_path)],
+        "generate_folder", env=child_env)
+
+    n_out = sum(1 for _ in (work / "fake").rglob("*.jpg"))
+    assert n_out == args.n_fake, f"expected {args.n_fake} outputs, got {n_out}"
+
+    # ---- stage 3: deterministic vendored-mirror weights (cpu subprocess) --
+    weights = work / "inception_deterministic.npz"
+    if not weights.exists():
+        t["weights_s"] = _run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, 'tests'); "
+             "from golden_pool3 import deterministic_params; "
+             "from gan_variant_research_tpu.evalsuite.inception import "
+             "save_converted_weights; "
+             f"save_converted_weights(deterministic_params(seed=0), {str(weights)!r})"],
+            "deterministic weights", env=_cpu_env())
+
+    # ---- stage 4: MiFID/FID/KID/PR + report trio ----
+    t["eval_s"] = _run(
+        [sys.executable, "-m", "gan_variant_research_tpu.evalsuite.cli",
+         "--fake", str(work / "fake"), "--real", str(work / "monet"),
+         "--out", str(work / "reports"), "--batch", str(args.batch),
+         "--kid", "--pr", "--inception-weights", str(weights)],
+        "evalsuite", env=child_env)
+
+    reports = sorted((work / "reports").glob("*_report.json"))
+    assert reports, f"no report JSON in {work / 'reports'}"
+    report = json.loads(reports[-1].read_text())
+
+    zip_mb = zip_path.stat().st_size / 1e6
+    summary = {
+        "checkpoint": args.ckpt,
+        "images_generated": n_out,
+        "submission_zip_mb": round(zip_mb, 1),
+        "timings_s": {k: round(v, 1) for k, v in t.items()},
+        "scores": report.get("scores", report),
+    }
+    print(json.dumps(summary, indent=2), flush=True)
+
+    doc = Path(args.doc)
+    doc.write_text(f"""# Train → generate → eval, one chain ({time.strftime('%Y-%m-%d')})
+
+The reference's end-to-end workflow — train the full 60k-step schedule,
+dump 7,000 stylized JPEGs, score the folder — exercised as one chain at
+full scale (`scripts/pipeline_e2e.py`), on the final checkpoint of the
+60k-step soak (`docs/full_schedule_soak.md`). Reference anchors:
+`EVAL/IMPLEMENTATION_NOTES.md:107-118` (~35 s eval for 9k fake + 300 real,
+A100 batch 64), `generate_folder.py:255-292` (JPEG q95 submission tree).
+
+| stage | what | wall |
+|---|---|---|
+| inputs | {args.n_fake} synthetic photos + {args.n_real} paintings → JPEG (host, native libjpeg) | {t['synth_inputs_s']:.1f} s |
+| generate | `generate_folder --limit {args.n_fake} --zip` (EMA restore, batch {args.batch}, mirrored q95 tree + flat zip) | {t['generate_s']:.1f} s |
+| eval | `evalsuite.cli --kid --pr` ({args.n_fake} fake + {args.n_real} real, batch {args.batch}) | {t['eval_s']:.1f} s |
+
+Submission zip: **{n_out} images, {zip_mb:.1f} MB** (flat 0.jpg..N.jpg,
+the notebook-lineage Kaggle contract). Report trio (JSON + text summary +
+worst-cases CSV) written to `runs/pipeline_e2e/reports/` with the
+`sample_report.json` schema.
+
+```json
+{json.dumps(summary, indent=2)}
+```
+
+Scores use the deterministic vendored-mirror Inception weights — the
+canonical `pt_inception-2015-12-05` anchor needs network egress
+(`deploy_day.sh`); the synthetic two-domain data stands in for the
+unmounted Kaggle set. Both are the documented environment-gated anchors
+(docs/STATUS.md); everything mechanical about the workflow — restore,
+7k-image generation, zip contract, staged eval, report schema — is what
+this chain proves at full scale.
+
+Reproduce: `python scripts/pipeline_e2e.py --ckpt <ckpt>`
+""")
+    print(f"[e2e] wrote {doc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

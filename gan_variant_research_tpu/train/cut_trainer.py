@@ -216,11 +216,25 @@ class CUTTrainer:
             rep_sh = self.mesh.replicated()
             _put = jax.jit(lambda t: t, out_shardings=rep_sh)
             inc_params = _put(load_inception_params(clip_cfg))
+            # repulsion.every (default 1 = reference semantics): lazy
+            # cadence for the 299² pool3 embed, the dominant cost of the
+            # everything-on step (docs/PERF.md: ~45 ms of the +129 ms
+            # variant delta). every=K runs the embed + hinge on steps where
+            # step % K == 0 with the penalty scaled ×K — the same
+            # time-averaged-gradient amortization the reference applies to
+            # R1 (train_cutpp.py lazy regularization; Karras et al. 2020).
+            # A *documented divergence* knob, off by default; the branch is
+            # a lax.cond so the off-step compiled program skips the embed
+            # FLOPs at runtime rather than hiding them.
+            every = int(rep_cfg.get("every", 1))
+            if every < 1:
+                raise ValueError(f"repulsion.every must be >= 1, got {every}")
             self._repulsion = {
                 "bank": jax.jit(normalize_rows, out_shardings=rep_sh)(
                     np.asarray(bank, np.float32)),
                 "margin": margin,
                 "embed": make_embed_fn(inc_params),
+                "every": every,
             }
 
         # Donation halves peak HBM on a real TPU VM; validate_donation raises
@@ -618,16 +632,35 @@ class CUTTrainer:
             pal = (palette_prior_loss(fake_h, monets, target_size=pal_size)
                    if pal_w > 0 else jnp.zeros((), jnp.float32))
             if rep_w > 0:
-                rep, _ = repulsion_loss(
-                    self._repulsion["embed"](fake_h),
-                    self._repulsion["bank"],
-                    self._repulsion["margin"],
-                    bank_normalized=True,
-                )
+                def rep_raw(fh):
+                    r, _ = repulsion_loss(
+                        self._repulsion["embed"](fh),
+                        self._repulsion["bank"],
+                        self._repulsion["margin"],
+                        bank_normalized=True,
+                    )
+                    return r
+                rep_every = int(self._repulsion["every"])
+                if rep_every > 1:
+                    # Lazy cadence (repulsion.every > 1): embed + hinge only
+                    # on cadence steps, penalty ×every — R1-style amortized
+                    # gradient. lax.cond executes one branch at runtime, so
+                    # off steps skip the 299² embed FLOPs entirely (both in
+                    # the forward and in the vjp through this head).
+                    rep = jax.lax.cond(
+                        step % rep_every == 0,
+                        rep_raw,
+                        lambda fh: jnp.zeros((), jnp.float32),
+                        fake_h,
+                    )
+                else:
+                    rep = rep_raw(fake_h)
+                    rep_every = 1
             else:
                 rep = jnp.zeros((), jnp.float32)
+                rep_every = 1
             total = (adv_w * g_adv + nce_w * nce + fm_w * fm
-                     + pal_w * pal + rep_w * rep)
+                     + pal_w * pal + rep_w * rep_every * rep)
             return total, (g_adv, nce, fm, pal, rep)
 
         (head_loss, (g_adv, nce, fm, pal, rep)), head_grads = jax.value_and_grad(

@@ -15,7 +15,8 @@ docs/PERF.md "End-to-end training loop in THIS harness").
     python scripts/full_schedule_soak.py [--steps 60000] [--log-every 250]
 
 Artifacts: runs/full_schedule_soak/log.jsonl (one line per window),
-checkpoints every 15k steps, docs/full_schedule_soak.md (final record).
+checkpoints every --ckpt-every (2k) steps with keep_last_n=3,
+docs/full_schedule_soak.md (final record, written by scripts/soak_report.py).
 
 OPERATIONAL: the axon chip does NOT tolerate concurrent clients (two
 simultaneous processes hang where one finishes in 3 s — probed

@@ -12,7 +12,11 @@ same batch/resolution:
 
 Usage (one cell per process so the HBM high-water mark is clean):
 
-    python scripts/probe_variant_step.py <batch> <baseline|variants>
+    python scripts/probe_variant_step.py <batch> <baseline|variants|variants_repK>
+
+variants_repK adds repulsion.every=K (the lazy embed cadence) on top of the
+everything-on build; K must divide 16 so the measured window mean is the
+amortized per-step cost.
 """
 
 import json
@@ -27,6 +31,15 @@ import numpy as np
 
 batch = int(sys.argv[1])
 mode = sys.argv[2]
+# variants_repK (e.g. variants_rep4): the everything-on build with the
+# repulsion.every=K lazy cadence (VERDICT r4 #7). K must divide the 16-step
+# window so every window holds exactly 16/K active embed steps and the
+# measured mean IS the amortized per-step cost.
+rep_every = 1
+if mode.startswith("variants_rep"):
+    rep_every = int(mode[len("variants_rep"):])
+    assert 16 % rep_every == 0, "K must divide the 16-step window"
+    mode = "variants"
 assert mode in ("baseline", "variants")
 
 from gan_variant_research_tpu.core.cache import enable_persistent_cache
@@ -56,7 +69,7 @@ if mode == "variants":
              use_channel_attn=True, channel_attn_layers=[5],
              use_style_dropout=True)
     cfg["loss_weights"].update(featmatch=10.0, palette=2.0, repulsion=0.5)
-    cfg["repulsion"] = {"enabled": True, "margin": 0.25}
+    cfg["repulsion"] = {"enabled": True, "margin": 0.25, "every": rep_every}
     cfg["clip_features"] = {
         "backbone": "inception_pool3",
         "monet_feats_path": str(work / "bank.npz"),
@@ -102,7 +115,8 @@ def window(n=16):
 times = [window() for _ in range(3)]
 stats = jax.devices()[0].memory_stats() or {}
 print(json.dumps({
-    "mode": mode, "batch": batch,
+    "mode": mode if rep_every == 1 else f"variants_rep{rep_every}",
+    "batch": batch,
     "steady_ms_per_step": [round(1000 * t, 1) for t in times],
     "best_ms": round(1000 * min(times), 1),
     "img_per_s": round(batch / min(times), 1),

@@ -143,6 +143,78 @@ def test_cut_step_with_repulsion(tmp_path, rng):
     assert vals["repulsion"] > 0     # margin 2 ⇒ hinge always engaged
 
 
+def test_repulsion_cadence_semantics(tmp_path, rng):
+    """repulsion.every=K is R1-style lazy amortization: active steps are
+    gradient-identical to every=1 with the weight scaled ×K, off steps are
+    gradient-identical to repulsion absent (the lax.cond zero branch adds
+    exact zeros)."""
+    bank = rng.normal(size=(16, 2048)).astype(np.float32)
+    save_feature_bank(tmp_path / "bank.npz", bank)
+    proj = jnp.asarray(rng.normal(size=(3, 2048)).astype(np.float32))
+
+    def make(weight, every=None):
+        rep = {"enabled": True, "margin": 2.0}   # margin 2 → hinge always on
+        if every is not None:
+            rep["every"] = every
+        # every other loss weight is zero, so the G gradient IS the
+        # repulsion term — a missing ×K scale or a wrong cadence predicate
+        # shifts it by 2×, far above bf16 graph-divergence noise
+        t = CUTTrainer(tiny_config(
+            loss_weights={"adv": 0.0, "patchnce": 0.0, "identity_warm": 0.0,
+                          "identity_final": 0.0, "repulsion": weight},
+            repulsion=rep,
+            clip_features={"monet_feats_path": str(tmp_path / "bank.npz"),
+                           "allow_random": True},
+        ))
+        if t._repulsion is not None:
+            t._repulsion["embed"] = lambda x: jnp.mean(
+                x.astype(jnp.float32), axis=(1, 2)) @ proj
+        return t
+
+    p, m = batches(rng)
+
+    def assert_same_grads(sa, sb):
+        # Compare Adam's first/second moments after ONE step from identical
+        # init: mu = (1-b1)·g is LINEAR in the gradient, so this pins
+        # gradient equivalence without Adam's sign normalization (update ≈
+        # lr·sign(g) for near-zero g) turning compiled-graph float noise
+        # into whole ±lr param flips. Tolerances sized to bf16: the two
+        # programs fuse differently, so entries can drift ~1e-2 relative —
+        # a missing ×K or a wrong predicate shifts them 2×.
+        for a, b in zip(jax.tree_util.tree_leaves(sa.opt_g),
+                        jax.tree_util.tree_leaves(sb.opt_g)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.max(np.abs(a)), np.max(np.abs(b)), 1e-30)
+            np.testing.assert_allclose(a, b, rtol=5e-2,
+                                       atol=1e-3 * float(scale))
+
+    # step 0 (0 % 2 == 0 → active): every=2 at w=0.5 ≡ every=1 at w=1.0
+    t_k, t_2w = make(0.5, every=2), make(1.0)
+    s_k, l_k = t_k.train_step(t_k.init_state(), p, m)
+    s_2w, l_2w = t_2w.train_step(t_2w.init_state(), p, m)
+    assert float(l_k["repulsion"]) == pytest.approx(
+        float(l_2w["repulsion"]), rel=1e-5)          # logged value stays raw
+    assert float(l_k["repulsion"]) > 0
+    assert_same_grads(s_k, s_2w)
+
+    # step 1 (off): every=2 ≡ repulsion compiled out entirely
+    t_none = make(0.0)
+    assert t_none._repulsion is None
+    base_k = t_k.init_state()
+    st1_k = base_k.replace(step=base_k.step + 1)
+    base_n = t_none.init_state()
+    st1_n = base_n.replace(step=base_n.step + 1)
+    s_off, l_off = t_k.train_step(st1_k, p, m)
+    s_non, l_non = t_none.train_step(st1_n, p, m)
+    assert float(l_off["repulsion"]) == 0.0
+    assert_same_grads(s_off, s_non)
+
+    # guard: every must be a positive int
+    with pytest.raises(ValueError, match="repulsion.every"):
+        make(1.0, every=0)
+
+
 def test_repulsion_enabled_gate(tmp_path, rng):
     # repulsion.enabled=false zeroes the loss even with a weight set — the
     # reference's surviving gate semantics (train_gan_cutpp.yaml:148-149)

@@ -30,6 +30,12 @@ is the exact space MiFID's memorization term is scored in, making the
 repulsion target the same metric the Kaggle evaluation penalizes. The
 distance computation is one (B,D)×(D,N) matmul on normalized embeddings —
 MXU-shaped, no per-sample loops.
+
+A second documented-divergence knob, ``repulsion.every`` (default 1), lets
+the embed ride a lazy cadence: every K-th step computes the embed + hinge
+with the penalty scaled ×K (the amortized-gradient scheme lazy R1 uses),
+compiled as a ``lax.cond`` so off steps skip the embed FLOPs at runtime.
+See train/cut_trainer.py and docs/PERF.md for the measured cost.
 """
 
 from __future__ import annotations

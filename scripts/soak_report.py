@@ -26,6 +26,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / "runs/full_schedule_soak"))
     ap.add_argument("--doc", default=str(REPO / "docs/full_schedule_soak.md"))
+    ap.add_argument("--allow-partial", action="store_true",
+                    help="write the record even if steps_completed < "
+                         "requested (the doc text still reports the real "
+                         "counts; finiteness is asserted regardless)")
     args = ap.parse_args()
     out = Path(args.out)
 
@@ -55,6 +59,11 @@ def main() -> None:
             except json.JSONDecodeError:
                 continue
     assert summary is not None, "no summary line in stdout.log yet"
+    # the doc asserts finiteness + completion — refuse to write it otherwise
+    assert summary.get("nan_at") is None, f"run went non-finite: {summary}"
+    assert args.allow_partial or \
+        summary["steps_completed"] >= summary["requested_steps"], \
+        f"run incomplete: {summary['steps_completed']}/{summary['requested_steps']}"
 
     # de-duplicate replayed windows (a resume re-runs from the restored
     # checkpoint, so early attempts can log a step twice): keep the LAST

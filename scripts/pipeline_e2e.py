@@ -169,6 +169,12 @@ worst-cases CSV) written to `runs/pipeline_e2e/reports/` with the
 {json.dumps(summary, indent=2)}
 ```
 
+Stage walls are dominated by this harness's environment, not the
+hardware: the axon tunnel moves host↔device bytes at ~25 MB/s (docs/PERF.md
+"End-to-end training loop in THIS harness") and the 1-core host does all
+JPEG encode/decode; the r3-recorded on-chip eval extraction rate is
+659–807 img/s (docs/PERF.md).
+
 Scores use the deterministic vendored-mirror Inception weights — the
 canonical `pt_inception-2015-12-05` anchor needs network egress
 (`deploy_day.sh`); the synthetic two-domain data stands in for the

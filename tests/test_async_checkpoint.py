@@ -179,6 +179,7 @@ def _tiny_cut_config(tmp_path, data_dir, async_save: bool) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_loop_async_checkpoints_match_sync(tmp_path):
     """The CUT loop with async saves produces the same checkpoint files
     (same steps, same restored params) as the blocking path."""

@@ -333,6 +333,7 @@ def test_steps_per_call_window_checkpoint_label_matches_state(workspace,
     assert blob["step"] == 4  # stored step == filename step == state.step
 
 
+@pytest.mark.slow
 def test_window_grid_realigns_after_offgrid_resume(workspace, tmp_path):
     """Resuming scan windows from an off-grid step (a ckpt_final written at
     an arbitrary max_steps, then extended) must realign the window grid with

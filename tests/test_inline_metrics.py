@@ -101,6 +101,7 @@ def test_inline_evaluator_metrics(metrics_ws):
     assert m2["d_min"] == pytest.approx(m["d_min"], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_loop_early_stops_and_writes_metrics_log(metrics_ws):
     from gan_variant_research_tpu.train.loop import train_cut
 

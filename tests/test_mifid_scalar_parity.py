@@ -68,6 +68,7 @@ def _oracle_memorization(feats_f, feats_r, eps):
     return d if d < eps else 1.0
 
 
+@pytest.mark.slow
 def test_fid_and_mifid_scalars_match_torch_oracle(tmp_path):
     fake_paths = _write_images(tmp_path / "fake", 20, seed=0)
     real_paths = _write_images(tmp_path / "real", 12, seed=1)

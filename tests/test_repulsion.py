@@ -143,6 +143,7 @@ def test_cut_step_with_repulsion(tmp_path, rng):
     assert vals["repulsion"] > 0     # margin 2 ⇒ hinge always engaged
 
 
+@pytest.mark.slow
 def test_repulsion_cadence_semantics(tmp_path, rng):
     """repulsion.every=K is R1-style lazy amortization: active steps are
     gradient-identical to every=1 with the weight scaled ×K, off steps are
@@ -230,6 +231,7 @@ def test_repulsion_enabled_gate(tmp_path, rng):
     assert float(losses["repulsion"]) == 0.0
 
 
+@pytest.mark.slow
 def test_embed_fn_shapes_and_grad(rng):
     # the real differentiable embedder (random-weight inception): shape,
     # finiteness, and a nonzero gradient back into the image
@@ -262,6 +264,7 @@ def test_bank_normalized_flag_equivalence():
     np.testing.assert_allclose(np.asarray(lg), np.asarray(lr), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_build_feature_bank_from_tfrecord(tmp_path):
     """data.use_tfrec datasets can build the bank on first run: the tfrec
     branch decodes records at the extractor's 299² bilinear contract and

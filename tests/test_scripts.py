@@ -38,6 +38,7 @@ def image_sets(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_select_7k_direct_invocation(image_sets):
     out = image_sets / "sel"
     r = subprocess.run(
@@ -55,6 +56,7 @@ def test_select_7k_direct_invocation(image_sets):
     assert meta["selected"] == 6
 
 
+@pytest.mark.slow
 def test_convert_inception_direct_invocation(tmp_path):
     sys.path.insert(0, str(REPO / "tests"))
     import torch
@@ -75,6 +77,7 @@ def test_convert_inception_direct_invocation(tmp_path):
     assert any("Conv2d_1a_3x3" in k or "conv" in k.lower() for k in data.files)
 
 
+@pytest.mark.slow
 def test_build_feature_bank_direct_invocation(image_sets):
     out_npz = image_sets / "bank.npz"
     out_margin = image_sets / "margin.json"

@@ -9,6 +9,7 @@ from gan_variant_research_tpu.train.cut_trainer import CUTTrainer
 from test_cut_trainer import tiny_config, batches
 
 
+@pytest.mark.slow
 def test_window_matches_single_steps(rng):
     cfg = tiny_config()
     cfg["warmup_steps"] = 5  # identity flips off inside the window

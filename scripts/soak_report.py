@@ -176,9 +176,21 @@ on disk at completion: {', '.join(ckpts)}. Earlier periodic files were
 pruned as promised; the resume chain above restored from them while they
 were the newest.
 
+## Samples from the final checkpoint
+
+![input photos / EMA G(photo) after 60k steps / target
+paintings](full_schedule_soak_samples.png)
+
+Rows: input domain, the EMA generator's output at step 60k (from the
+pipeline-e2e run on this checkpoint, `docs/pipeline_e2e.md`), target
+domain. Content is preserved (PatchNCE) while the global palette/contrast
+shifts toward the target domain — the expected unpaired-translation
+equilibrium on these synthetic domains.
+
 Reproduce: `scripts/soak_supervisor.sh 60000` (chip must be otherwise
 idle — single-client constraint, see the harness docstring), then
-`python scripts/soak_report.py`.
+`python scripts/soak_report.py` (the sample grid comes from
+`scripts/pipeline_e2e.py` run on the final checkpoint).
 """
     Path(args.doc).write_text(doc)
     print(f"wrote {args.doc}: {summary['steps_completed']} steps, "

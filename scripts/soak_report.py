@@ -152,6 +152,13 @@ relaunch, the framework's own `--resume auto` contract).
 |---|---|---|
 {wedge_rows}
 
+A note on the raw log's `r1` field: it samples the LAST step of each
+250-step window, and 250k−1 ≡ 0 (mod 16) has no solution, so the sampled
+value reads 0.0 in every window even though lazy R1 executes on 1 of
+every 16 steps inside each window (its cost is inside every window time;
+its execution is separately pinned by the driver's `dryrun_multichip`
+tail, r1 > 0, and `tests/test_cut_trainer.py` cadence assertions).
+
 ## Identity-anneal boundary (20k)
 
 The schedule's one phase change: identity weight anneals 0.1 → 0 linearly
